@@ -1,0 +1,97 @@
+"""Crawl configuration — mirrors Abot's ``CrawlConfiguration`` knobs.
+
+Reference: ``Abot/Poco/CrawlConfiguration.cs`` (defaults at :38-50, the
+``IsPayAttention`` "0 disables" convention at :72-75).  The dataclass is
+frozen so it can be captured by closures shipped to executors (broadcast by
+value inside pandas UDFs) without mutation hazards.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+
+def is_pay_attention(value: int | float, not_pay_attention: int = 0) -> bool:
+    """Abot's convention: a limit is active only when > 0.
+
+    Reference: ``Abot/Poco/CrawlConfiguration.cs:72-75``.
+    """
+    return value > not_pay_attention
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Knob names & defaults follow ``CrawlConfiguration`` (ctor :38-50).
+
+    Snake_cased; only knobs that affect crawl *semantics* are kept (HTTP
+    transport knobs like ssl validation have no meaning against a corpus
+    table and are accepted but unused).
+    """
+
+    # -- crawl behavior ----------------------------------------------------
+    max_concurrent_threads: int = 10          # informational; Spark tasks rule
+    max_pages_to_crawl: int = 1000            # 0 disables
+    max_pages_to_crawl_per_domain: int = 0    # 0 disables
+    max_page_size_in_bytes: int = 0           # 0 disables
+    user_agent_string: str = (
+        "Mozilla/5.0 (Windows NT 6.3; Trident/7.0; rv:11.0) like Gecko"
+    )
+    max_crawl_depth: int = 100
+    max_links_per_page: int = 0               # 0 disables
+    crawl_timeout_seconds: int = 0            # 0 disables
+    downloadable_content_types: str = "text/html"
+    is_uri_recrawling_enabled: bool = False
+    is_external_page_crawling_enabled: bool = False
+    is_external_page_links_crawling_enabled: bool = False
+    http_service_point_connection_limit: int = 200
+    http_request_timeout_in_seconds: int = 15
+    http_request_max_auto_redirects: int = 7
+    is_http_request_auto_redirects_enabled: bool = True
+    is_http_request_automatic_decompression_enabled: bool = False
+    is_send_cookies_enabled: bool = False
+    is_ssl_certificate_validation_enabled: bool = True
+    is_respect_url_named_anchor_or_hashbang_enabled: bool = False
+    configuration_extensions: dict[str, str] = field(default_factory=dict)
+
+    # -- politeness ---------------------------------------------------------
+    is_respect_robots_dot_text_enabled: bool = False
+    is_respect_meta_robots_no_follow_enabled: bool = False
+    is_respect_http_x_robots_tag_header_no_follow_enabled: bool = False
+    is_respect_anchor_rel_no_follow_enabled: bool = False
+    is_ignore_robots_dot_text_if_root_disallowed_enabled: bool = False
+    robots_dot_text_user_agent_string: str = "abot"
+    max_robots_dot_text_crawl_delay_in_seconds: int = 5
+    min_crawl_delay_per_domain_milli_seconds: int = 0
+
+    # -- retry --------------------------------------------------------------
+    max_retry_count: int = 0
+    min_retry_delay_in_milliseconds: int = 0
+
+    # -- engine-specific (no Abot equivalent) -------------------------------
+    wave_seconds: float = 60.0        # politeness quota horizon per wave
+    shuffle_partitions: int = 32      # sized to executor memory at target SF
+    seen_buckets: int = 64            # hash buckets for the seen-set table
+    domain_salt: int = 8              # salt factor for skewed-domain fetch
+    bloom_expected_items: int = 10_000_000
+    bloom_fpp: float = 0.01
+
+    def with_(self, **kw: Any) -> "CrawlConfig":
+        return replace(self, **kw)
+
+    # convenience predicates mirroring IsPayAttention call sites
+    @property
+    def max_pages_active(self) -> bool:
+        return is_pay_attention(self.max_pages_to_crawl)
+
+    @property
+    def max_pages_per_domain_active(self) -> bool:
+        return is_pay_attention(self.max_pages_to_crawl_per_domain)
+
+    @property
+    def max_page_size_active(self) -> bool:
+        return is_pay_attention(self.max_page_size_in_bytes)
+
+    @property
+    def max_links_per_page_active(self) -> bool:
+        return is_pay_attention(self.max_links_per_page)

@@ -1,0 +1,191 @@
+"""URL absolutization / canonicalization — .NET ``Uri`` parity kernel.
+
+Pure functions (no Spark imports) so they are unit-testable without a
+session and importable inside Arrow pandas UDFs on executors.
+
+Semantics reproduced from the reference:
+
+- ``new Uri(baseUri, href)`` resolution incl. ``.AbsoluteUri`` normalization
+  (lowercase scheme/host, default port stripped, empty http(s) path -> "/",
+  dot-segments removed) — the output strings here are the parity oracle for
+  ``Abot.Tests.Unit/Core/HyperlinkParserTest.cs`` expectations.
+- fragment stripping before resolution unless
+  ``IsRespectUrlNamedAnchorOrHashbangEnabled``
+  (``Abot/Core/Parsers/HyperLinkParser.cs:190-194``).
+- malformed URLs dropped silently (``HyperLinkParser.cs:204-208``), e.g.
+  ``http://////`` (HyperlinkParserTest ``GetLinks_InvalidFormatUrl``).
+- ``Uri.Authority`` = lowercase host[:port], default port omitted
+  (used as the per-domain key everywhere: rate limiter, count-by-domain,
+  internal/external classification ``Abot/Crawler/WebCrawler.cs:114-115``).
+
+The canonical form produced by :func:`canonicalize` is the seen-set key
+(hashed with ``xxhash64`` Spark-side; reference used first 8 MD5 bytes,
+``Abot/Core/Repositories/CrawledUrlRepository.cs:58-76`` — only the
+"64-bit hash, collisions tolerated" contract is kept).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+_DEFAULT_PORTS = {"http": 80, "https": 443}
+
+
+def strip_fragment(href: str) -> str:
+    """``hrefValue.Split('#')[0]`` (HyperLinkParser.cs:192-194)."""
+    return href.split("#", 1)[0]
+
+
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 — .NET Uri normalizes dot segments in AbsoluteUri."""
+    if not path:
+        return path
+    output: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(output) > 1:
+                output.pop()
+            continue
+        output.append(seg)
+    # preserve trailing "/." or "/.." collapse to "/"
+    if path.endswith(("/.", "/..")) and (not output or output[-1] != ""):
+        output.append("")
+    return "/".join(output)
+
+
+def canonicalize(url: str) -> str | None:
+    """Normalize an absolute URL the way .NET ``Uri.AbsoluteUri`` does.
+
+    Returns ``None`` when the URL is invalid by .NET rules (http(s) URL
+    with an empty host, unparseable input, or no scheme).
+    Non-http(s) schemes (mailto:, tel:, ftp:, file:) pass through with only
+    scheme lowercasing — HyperlinkParserTest ``GetLinks_AnchorTags*`` keeps
+    them verbatim.
+    """
+    if url is None:
+        return None
+    url = url.strip()
+    if not url:
+        return None
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if not scheme:
+        return None
+    if scheme not in _DEFAULT_PORTS:
+        if parts.scheme == scheme:
+            return url
+        return urlunsplit((scheme, parts.netloc, parts.path, parts.query, parts.fragment))
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None  # e.g. "http://////"
+    try:
+        port = parts.port
+    except ValueError:
+        return None
+    netloc = host
+    if parts.username:
+        userinfo = parts.username + (":" + parts.password if parts.password else "")
+        netloc = userinfo + "@" + netloc
+    if port is not None and port != _DEFAULT_PORTS[scheme]:
+        netloc += f":{port}"
+    path = remove_dot_segments(parts.path) or "/"
+    return urlunsplit((scheme, netloc, path, parts.query, parts.fragment))
+
+
+def absolutize(base_url: str, href: str, respect_fragment: bool = False) -> str | None:
+    """``new Uri(uriToUse, href).AbsoluteUri`` (HyperLinkParser.cs:186-209).
+
+    Returns the canonical absolute URL, or ``None`` when the href cannot
+    form a valid URI (dropped silently by the reference).
+    """
+    if href is None:
+        return None
+    href = href.strip()
+    if not respect_fragment:
+        href = strip_fragment(href)
+    if href == "" and not respect_fragment:
+        # ``new Uri(base, "")`` resolves to the base itself
+        return canonicalize(base_url)
+    try:
+        href_scheme = urlsplit(href).scheme
+    except ValueError:
+        return None
+    if href_scheme:
+        # absolute href: .NET validates it standalone — ``http://////``
+        # throws rather than being repaired against the base
+        return canonicalize(href)
+    try:
+        joined = urljoin(base_url, href)
+    except ValueError:
+        return None
+    return canonicalize(joined)
+
+
+def resolve_base_href(page_url: str, base_href: str | None) -> str:
+    """Pick the URI used for relative resolution (HyperLinkParser.cs:162-184).
+
+    A ``<base href>`` overrides the page URL only when it is a valid
+    *absolute* URI; ``//host`` inherits the page scheme.  Invalid or
+    relative base hrefs fall back to the page URL (contract from
+    HyperlinkParserTest ``GetLinks_RelativeBaseTagPresent`` /
+    ``GetLinks_InvalidBaseTagPresent`` — the fork's code at
+    HyperLinkParser.cs:175-183 rethrows, but its own test matrix pins the
+    upstream fallback behavior, which is what a batch engine needs anyway).
+    """
+    if not base_href:
+        return page_url
+    base_href = base_href.strip()
+    if not base_href:
+        return page_url
+    if base_href.startswith("//"):
+        scheme = urlsplit(page_url).scheme or "http"
+        base_href = f"{scheme}:{base_href}"
+    try:
+        parts = urlsplit(base_href)
+    except ValueError:
+        return page_url
+    if not parts.scheme:
+        return page_url
+    if parts.scheme.lower() in _DEFAULT_PORTS and not parts.netloc:
+        return page_url  # "http:http://http:" style garbage
+    return base_href
+
+
+def authority(url: str) -> str:
+    """.NET ``Uri.Authority``: lowercase host[:port], default port omitted."""
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return ""
+    host = (parts.hostname or "").lower()
+    if not host:
+        return ""
+    try:
+        port = parts.port
+    except ValueError:
+        return host
+    if port is not None and port != _DEFAULT_PORTS.get(parts.scheme.lower(), None):
+        return f"{host}:{port}"
+    return host
+
+
+def is_base_of(root_url: str, url: str) -> bool:
+    """.NET ``Uri.IsBaseOf`` approximation used by the robots gate
+    (``Abot/Core/Robots/RobotsDotText.cs:78-82``): same scheme+authority and
+    the root path is a directory-prefix of the url path."""
+    try:
+        r, u = urlsplit(root_url), urlsplit(url)
+    except ValueError:
+        return False
+    if r.scheme.lower() != u.scheme.lower() or authority(root_url) != authority(url):
+        return False
+    root_path = r.path or "/"
+    if not root_path.endswith("/"):
+        root_path = root_path.rsplit("/", 1)[0] + "/"
+    u_path = u.path or "/"
+    return u_path.startswith(root_path)

@@ -1,0 +1,81 @@
+"""Unit tests for the .NET-Uri-parity URL kernel (abot_spark.urls)."""
+
+from __future__ import annotations
+
+from abot_spark.urls import (
+    absolutize,
+    authority,
+    canonicalize,
+    is_base_of,
+    remove_dot_segments,
+    resolve_base_href,
+    strip_fragment,
+)
+
+
+def test_canonicalize_normalizations():
+    assert canonicalize("http://AAA.com") == "http://aaa.com/"
+    assert canonicalize("HTTP://aaa.com/Path") == "http://aaa.com/Path"
+    assert canonicalize("http://aaa.com:80/x") == "http://aaa.com/x"
+    assert canonicalize("https://aaa.com:443/x") == "https://aaa.com/x"
+    assert canonicalize("http://aaa.com:8080/x") == "http://aaa.com:8080/x"
+    assert canonicalize("http://a.com/a/../b") == "http://a.com/b"
+    assert canonicalize("http://a.com/a/./b/") == "http://a.com/a/b/"
+
+
+def test_canonicalize_invalid():
+    assert canonicalize("http://////") is None
+    assert canonicalize("") is None
+    assert canonicalize("no-scheme/path") is None
+    assert canonicalize(None) is None
+
+
+def test_canonicalize_non_http_passthrough():
+    assert canonicalize("mailto:aaa@gmail.com") == "mailto:aaa@gmail.com"
+    assert canonicalize("tel:+123456789") == "tel:+123456789"
+    assert canonicalize("ftp://user@yourdomainname.com/") == "ftp://user@yourdomainname.com/"
+    assert canonicalize("file:///C:/Users/") == "file:///C:/Users/"
+
+
+def test_absolutize():
+    assert absolutize("http://a.com/", "/aaa/a.html") == "http://a.com/aaa/a.html"
+    assert absolutize("http://a.com/", "bbb/b.html") == "http://a.com/bbb/b.html"
+    assert absolutize("http://a.com/aaa/", "b.html") == "http://a.com/aaa/b.html"
+    assert absolutize("http://a.com/", "http://b.com") == "http://b.com/"
+    assert absolutize("http://a.com/", "page#frag") == "http://a.com/page"
+    assert absolutize("http://a.com/", "page#frag", respect_fragment=True) == "http://a.com/page#frag"
+    assert absolutize("http://a.com/", "http://////") is None
+
+
+def test_resolve_base_href():
+    page = "http://a.com/"
+    assert resolve_base_href(page, None) == page
+    assert resolve_base_href(page, "") == page
+    assert resolve_base_href(page, "http://bbb.com") == "http://bbb.com"
+    assert resolve_base_href(page, "/images") == page          # relative -> ignored
+    assert resolve_base_href(page, "http:http://http:") == page  # invalid -> ignored
+    assert resolve_base_href(page, "//aaa.com") == "http://aaa.com"
+    assert resolve_base_href("https://a.com/", "//aaa.com") == "https://aaa.com"
+
+
+def test_authority():
+    assert authority("http://WWW.A.com/x") == "www.a.com"
+    assert authority("http://a.com:80/") == "a.com"
+    assert authority("http://a.com:81/") == "a.com:81"
+    assert authority("mailto:x@y.com") == ""
+
+
+def test_is_base_of():
+    assert is_base_of("http://a.com/", "http://a.com/deep/page")
+    assert is_base_of("http://a.com/sub/", "http://a.com/sub/page")
+    assert not is_base_of("http://a.com/sub/", "http://a.com/other")
+    assert not is_base_of("http://a.com/", "http://b.com/")
+    assert not is_base_of("http://a.com/", "https://a.com/")
+
+
+def test_strip_fragment_and_dot_segments():
+    assert strip_fragment("/a#b#c") == "/a"
+    assert strip_fragment("/a") == "/a"
+    assert remove_dot_segments("/a/b/../c") == "/a/c"
+    assert remove_dot_segments("/a/./b") == "/a/b"
+    assert remove_dot_segments("/../x") == "/x"
