@@ -1,0 +1,410 @@
+"""The wave loop — PoliteWebCrawler re-expressed as BFS supersteps.
+
+``WaveCrawler.crawl(seeds)`` is the Spark equivalent of
+``PoliteWebCrawler.Crawl(uri)`` (``Abot/Crawler/PoliteWebCrawler.cs:107-114``
+→ ``WebCrawler.CrawlSiteUsingUriAsStartPoint`` :390-432): each iteration of
+``ParallelCrawlSite`` (:502-539) becomes one Spark job over the frontier
+table; the mutable ``(Scheduler, CrawlContext)`` pair becomes the
+checkpointed :class:`abot_spark.store.CrawlStore` state, making the crawl
+resumable mid-run (north_rule) — kill the process after any wave and
+``resume()`` continues from the last committed manifest.
+
+Time is simulated (``sim_clock_ms``): politeness and Retry-After delays
+advance a deterministic clock instead of sleeping, so ordering and
+politeness tests are exact and fast (SURVEY.md §7 "Hard parts" #5).  A
+live deployment would swap the corpus join for an async-HTTP
+``mapInPandas`` stage and let the real clock gate ``not_before_ms``.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from abot_spark.config import CrawlConfig
+from abot_spark.functions.robots import RobotsDotText, parse_robots_rules
+from abot_spark.plans import wave as W
+from abot_spark.store import CrawlState, CrawlStore
+from abot_spark.urls import authority, canonicalize
+
+FRONTIER_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("url_hash", LongType()),
+    StructField("domain", StringType()),
+    StructField("path", StringType()),
+    StructField("parent_url", StringType()),
+    StructField("parent_seq", LongType()),
+    StructField("depth", IntegerType()),
+    StructField("kind", IntegerType()),
+    StructField("pos", IntegerType()),
+    StructField("is_retry", BooleanType()),
+    StructField("retry_count", IntegerType()),
+    StructField("redirected_from", StringType()),
+    StructField("redirect_position", IntegerType()),
+    StructField("is_internal", BooleanType()),
+    StructField("not_before_ms", LongType()),
+    StructField("is_root", BooleanType()),
+    StructField("seq", LongType()),
+    StructField("wave", IntegerType()),
+])
+
+
+class WaveCrawler:
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig, work_dir: str,
+                 pages: DataFrame, robots: DataFrame | None = None):
+        self.spark = spark
+        self.cfg = cfg
+        self.store = CrawlStore(spark, work_dir)
+        self.pages = pages
+        self.robots_df = robots
+        self._corpus: DataFrame | None = None
+        self._robots_rules: DataFrame | None = None
+        self._robots_delay_ms: dict[str, int] = {}
+
+    # -- setup ---------------------------------------------------------------
+
+    def _prepare(self, state: CrawlState) -> None:
+        self._corpus = W.prepare_corpus(self.pages, self.cfg).localCheckpoint()
+        self._robots_rules = None
+        self._robots_delay_ms = {}
+        if (self.cfg.is_respect_robots_dot_text_enabled
+                and self.robots_df is not None and not state.robots_dropped):
+            # robots parsed once per domain driver-side (RobotsDotTextFinder
+            # runs on the crawl driver in the reference too); rules become a
+            # broadcast dim table.  Parity mode restricts to the root domain
+            # (the reference only fetches robots for the root —
+            # PoliteWebCrawler.cs:128-131); per_domain mode generalizes.
+            rows = self.robots_df.collect()
+            ua = self.cfg.robots_dot_text_user_agent_string
+            rules_rows = []
+            for r in rows:
+                dom, txt = r["domain"], r["robots_txt"]
+                if not self.per_domain_robots and dom != state.root_authority:
+                    continue
+                flat = parse_robots_rules(f"http://{dom}/", txt, ua)
+                rules_rows.append(
+                    (dom, flat["allow_rules"], flat["disallow_rules"]))
+                delay_s = min(flat["crawl_delay_s"],
+                              self.cfg.max_robots_dot_text_crawl_delay_in_seconds)
+                delay_ms = int(delay_s * 1000)
+                # robots Crawl-delay overrides only when larger than the
+                # config minimum (PoliteWebCrawler.cs:146-167)
+                if delay_ms > self.cfg.min_crawl_delay_per_domain_milli_seconds:
+                    self._robots_delay_ms[dom] = delay_ms
+            if rules_rows:
+                self._robots_rules = self.spark.createDataFrame(
+                    rules_rows, "domain string, allow_rules array<string>, "
+                                "disallow_rules array<string>")
+
+    # -- public API ----------------------------------------------------------
+
+    per_domain_robots: bool = False
+
+    def crawl(self, seed_urls: list[str], max_waves: int = 1000) -> CrawlState:
+        state = CrawlState()
+        seeds = [canonicalize(u) for u in seed_urls]
+        seeds = [s for s in seeds if s is not None]
+        state.root_authority = authority(seeds[0]) if seeds else ""
+        state.original_root_authority = state.root_authority
+        self._seed_auths = tuple({authority(s) for s in seeds})
+        self._prepare(state)
+        self._seed_frontier(seeds, state)
+        self.store.commit_state(state)
+        return self._loop(state, max_waves)
+
+    def _root_authorities(self, state: CrawlState) -> tuple[str, ...]:
+        """IsInternalUri checks both RootUri and OriginalRootUri
+        (WebCrawler.cs:796-800); multi-seed crawls widen to all seed
+        authorities."""
+        return tuple({state.root_authority, state.original_root_authority,
+                      *getattr(self, "_seed_auths", ())})
+
+    def resume(self, max_waves: int = 1000) -> CrawlState:
+        """Continue from the last committed manifest (crash recovery).
+
+        Wave N's manifest commits only after frontier N+1 and all audit
+        appends for wave N are durable, so recovery = drop any partial
+        wave>N data and re-enter the loop."""
+        state = self.store.latest_state()
+        if state is None:
+            raise RuntimeError("nothing to resume: no committed state")
+        self.store.drop_waves_after(state.wave)
+        self._prepare(state)
+        return self._loop(state, max_waves)  # _loop starts at state.wave + 1
+
+    # -- seeding (S1: StartCrawlRootPage, WebCrawler.cs:480-495) -------------
+
+    def _seed_frontier(self, seeds: list[str], state: CrawlState) -> None:
+        cfg = self.cfg
+        # root-disallow escape hatch (F6) is evaluated driver-side, exactly
+        # like PoliteWebCrawler.ShouldCrawlPage for IsRoot pages (:191-227)
+        if (cfg.is_respect_robots_dot_text_enabled
+                and cfg.is_ignore_robots_dot_text_if_root_disallowed_enabled
+                and self.robots_df is not None and seeds):
+            root = seeds[0]
+            txt = {r["domain"]: r["robots_txt"]
+                   for r in self.robots_df.collect()}.get(state.root_authority)
+            if txt is not None:
+                robots = RobotsDotText(root, txt)
+                ua = cfg.robots_dot_text_user_agent_string
+                probe = root + ("aaaaa" if root.endswith("/") else "/aaaaa")
+                if (not robots.is_url_allowed(root, ua)
+                        or not robots.is_url_allowed(probe, ua)):
+                    state.robots_dropped = True
+                    self._robots_rules = None
+                    self._robots_delay_ms = {}
+
+        rows = []
+        for i, s in enumerate(seeds):
+            rows.append((s, authority(s),
+                         self._path_of(s), s, 0, 0, 1, i))
+        cand = self.spark.createDataFrame(
+            rows, "url string, domain string, path string, parent_url string,"
+                  " parent_seq long, depth int, kind int, pos int"
+        ).withColumn("is_retry", F.lit(False)) \
+         .withColumn("retry_count", F.lit(0)) \
+         .withColumn("redirected_from", F.lit(None).cast("string")) \
+         .withColumn("redirect_position", F.lit(0))
+
+        empty_events = self.spark.createDataFrame(
+            [], "seq long, domain string, is_retry boolean")
+        sched = W.schedule_wave(
+            cand, None, empty_events, None, None, self._robots_rules,
+            cfg, budget_used=state.budget_used, next_seq=0,
+            latched=False,
+            root_authorities=self._root_authorities(state),
+            wave_ts_ms=0, num_partitions=cfg.shuffle_partitions,
+        )
+        frontier0 = sched["admitted"].withColumn("is_root", F.lit(True)) \
+            .withColumn("wave", F.lit(0))
+        self.store.write_wave("frontier", 0, frontier0.select(
+            [f.name for f in FRONTIER_SCHEMA.fields]))
+        self.store.write_wave("seen", 0, sched["seen_add"])
+        self.store.write_wave("disallowed", 0, sched["disallowed"])
+        n = self.store.read_wave("frontier", 0).count()
+        state.next_seq = n
+        state.budget_used = n
+        state.latched = sched["any_budget_denial"]
+        state.wave = -1  # the loop starts at wave 0
+
+    @staticmethod
+    def _path_of(url: str) -> str:
+        from urllib.parse import urlsplit
+        try:
+            return urlsplit(url).path or "/"
+        except ValueError:
+            return "/"
+
+    # -- the loop ------------------------------------------------------------
+
+    def _loop(self, state: CrawlState, max_waves: int) -> CrawlState:
+        cfg = self.cfg
+        wall_start = time.monotonic()
+        w = state.wave + 1
+        while w < max_waves:
+            if state.hard_stop_requested or state.stop_requested:
+                break
+            if (cfg.crawl_timeout_seconds > 0
+                    and time.monotonic() - wall_start > cfg.crawl_timeout_seconds):
+                state.hard_stop_requested = True
+                break
+            try:
+                frontier = self.store.read_wave("frontier", w)
+            except Exception:
+                break  # no frontier written -> crawl complete
+            if frontier.isEmpty():
+                break
+            state.wave = w
+            self._run_wave(frontier, state)
+            self.store.commit_state(state)
+            w += 1
+        return state
+
+    def _run_wave(self, frontier: DataFrame, state: CrawlState) -> None:
+        cfg = self.cfg
+        t0 = time.monotonic()
+        wave_ts = state.sim_clock_ms
+        w = state.wave
+
+        # C3 politeness: per-domain quota for this wave + simulated pacing
+        delays = self._effective_delays()
+        due, deferred, wave_elapsed_ms = self._politeness_split(
+            frontier, delays, wave_ts)
+
+        fetched = W.fetch_wave(due, self._corpus)
+        extracted = W.extract_wave(fetched, cfg) \
+            .withColumn("task_partition_id", F.spark_partition_id()) \
+            .drop("html").localCheckpoint()
+
+        # root redirect rewrites RootUri (ValidateRootUriForRedirection,
+        # WebCrawler.cs:1277-1291) — root rows are wave-0 and few: collect
+        if w == 0:
+            for r in extracted.filter("is_root").select(
+                    "url", "response_url").collect():
+                if r["response_url"] != r["url"]:
+                    state.root_authority = authority(r["response_url"])
+
+        # audits: completed events (S6); size-dropped pages are silent
+        completed = extracted.filter(~F.col("size_dropped"))
+        self.store.write_wave("fetched", w, completed.select(
+            "url", "seq", "depth", "parent_url", "status_code", "charset",
+            "text", "domain", "is_retry", "retry_count", "response_url",
+            "task_partition_id",
+            F.lit(w).alias("wave"), F.lit(wave_ts).alias("wave_ts_ms"),
+        ))
+        self.store.write_wave("links_disallowed", w, completed.filter(
+            F.col("links_reason").isNotNull()
+        ).select("url", F.col("links_reason").alias("reason")))
+
+        # candidate generation: links (T1/T3) + redirect children (T6)
+        candidates = W.explode_links(extracted, cfg)
+        if not cfg.is_http_request_auto_redirects_enabled:
+            candidates = candidates.unionByName(
+                W.redirect_candidates(extracted, cfg))
+        candidates = candidates.localCheckpoint()
+
+        retries = None
+        if cfg.max_retry_count > 0:
+            retries = W.retry_candidates(extracted, cfg, wave_ts) \
+                .localCheckpoint()
+
+        events = extracted.select("seq", "domain", "is_retry")
+        seen = self.store.read_all("seen", w)
+        # counts snapshots are cumulative merged totals: read the newest one
+        prior_counts = None
+        lastc = self.store.last_wave("counts", w - 1)
+        if lastc is not None:
+            prior_counts = self.store.read_wave("counts", lastc).drop("wave")
+
+        sched = W.schedule_wave(
+            candidates, retries, events, seen,
+            prior_counts,
+            self._robots_rules if not state.robots_dropped else None,
+            cfg,
+            budget_used=state.budget_used,
+            next_seq=state.next_seq,
+            latched=state.latched,
+            root_authorities=self._root_authorities(state),
+            wave_ts_ms=wave_ts + wave_elapsed_ms,
+            num_partitions=cfg.shuffle_partitions,
+        )
+
+        admitted = sched["admitted"].withColumn("wave", F.lit(w + 1)) \
+            .select([f.name for f in FRONTIER_SCHEMA.fields])
+        next_frontier = admitted
+        if deferred is not None:
+            next_frontier = next_frontier.unionByName(
+                deferred.withColumn("wave", F.lit(w + 1))
+                .select([f.name for f in FRONTIER_SCHEMA.fields]))
+        # scheduling outputs belong to the wave they feed: frontier/seen/
+        # disallowed land under wave=w+1 (the seed pass owns wave=0)
+        self.store.write_wave("frontier", w + 1, next_frontier)
+        self.store.write_wave("seen", w + 1, sched["seen_add"])
+        self.store.write_wave("disallowed", w + 1, sched["disallowed"])
+
+        # counter updates (A1/A2)
+        processed = due.filter(~F.col("is_retry"))
+        n_processed = processed.count()
+        n_retried = due.filter("is_retry").count()
+        wave_counts = processed.groupBy("domain") \
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        if prior_counts is not None:
+            wave_counts = wave_counts.unionByName(prior_counts) \
+                .groupBy("domain").agg(F.sum("cnt").alias("cnt"))
+        self.store.write_wave(
+            "counts", w, wave_counts.withColumn("wave", F.lit(w)))
+
+        n_frontier_next = self.store.read_wave("frontier", w + 1).count()
+        n_deferred = deferred.count() if deferred is not None else 0
+        n_admitted = n_frontier_next - n_deferred
+
+        state.crawled_count += n_processed
+        state.retried_count += n_retried
+        state.next_seq += n_admitted
+        # CrawledCount + Scheduler.Count at the start of the next wave
+        state.budget_used = state.crawled_count + n_frontier_next
+        state.latched = state.latched or sched["any_budget_denial"]
+
+        # simulated clock: politeness pacing; jump to the earliest
+        # not_before if everything queued is in the future
+        state.sim_clock_ms = wave_ts + max(wave_elapsed_ms, 1)
+        if n_frontier_next > 0:
+            nf = self.store.read_wave("frontier", w + 1)
+            min_due = nf.agg(F.min("not_before_ms")).collect()[0][0]
+            if min_due is not None and min_due > state.sim_clock_ms:
+                state.sim_clock_ms = min_due
+
+        state.metrics.append({
+            "wave": w, "due": n_processed + n_retried,
+            "deferred": n_deferred,
+            "admitted": n_admitted, "retries": sched["n_retries"],
+            "frontier_next": n_frontier_next,
+            "sim_ms": state.sim_clock_ms,
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+        })
+
+    # -- politeness (C3) -----------------------------------------------------
+
+    def _effective_delays(self) -> dict[str, int]:
+        """max(robots crawl-delay [capped], config min) per domain
+        (DomainRateLimiter.cs:41-49 + PoliteWebCrawler.cs:146-167); the
+        +20ms fudge of the reference is a thread-wakeup artifact, not a
+        semantic, and is dropped."""
+        base = self.cfg.min_crawl_delay_per_domain_milli_seconds
+        delays = dict(self._robots_delay_ms)
+        if base > 0:
+            for dom in list(delays):
+                delays[dom] = max(delays[dom], base)
+        return delays
+
+    def _politeness_split(self, frontier: DataFrame, delays: dict[str, int],
+                          wave_ts: int):
+        """Per-domain per-wave quota: at most
+        ``wave_seconds*1000/delay_ms`` fetches per domain per wave, FIFO by
+        seq; the remainder defers to the next wave keeping its seq (per-
+        domain FIFO preserved).  Also defers rows whose ``not_before_ms``
+        (Retry-After) is still in the future."""
+        cfg = self.cfg
+        base = cfg.min_crawl_delay_per_domain_milli_seconds
+        not_due = F.col("not_before_ms") > F.lit(wave_ts)
+
+        if not delays and base <= 0:
+            due = frontier.filter(~not_due)
+            deferred = frontier.filter(not_due)
+            has_deferred = not deferred.isEmpty()
+            return due, (deferred if has_deferred else None), 0
+
+        delay_map = F.create_map(
+            *[F.lit(x) for kv in delays.items() for x in kv]) if delays else None
+        delay_col = F.lit(base)
+        if delay_map is not None:
+            delay_col = F.greatest(
+                F.coalesce(delay_map.getItem(F.col("domain")), F.lit(0)),
+                F.lit(base))
+        quota = F.when(
+            delay_col > 0,
+            F.greatest(F.floor(F.lit(cfg.wave_seconds * 1000) / delay_col),
+                       F.lit(1)),
+        ).otherwise(F.lit(1 << 62))
+
+        from pyspark.sql import Window
+        w_dom = Window.partitionBy("domain").orderBy("seq")
+        ranked = frontier.withColumn("_qrank", F.row_number().over(w_dom)) \
+                         .withColumn("_quota", quota) \
+                         .withColumn("_delay", delay_col)
+        due = ranked.filter((F.col("_qrank") <= F.col("_quota")) & ~not_due)
+        deferred = ranked.filter((F.col("_qrank") > F.col("_quota")) | not_due)
+
+        elapsed_row = due.groupBy("domain") \
+            .agg((F.count(F.lit(1)) * F.first("_delay")).alias("_ms")) \
+            .agg(F.max("_ms")).collect()[0][0]
+        wave_elapsed = int(elapsed_row or 0)
+        due = due.drop("_qrank", "_quota", "_delay")
+        deferred = deferred.drop("_qrank", "_quota", "_delay")
+        has_deferred = not deferred.isEmpty()
+        return due, (deferred if has_deferred else None), wave_elapsed

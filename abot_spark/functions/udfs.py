@@ -1,0 +1,164 @@
+"""Arrow-vectorized pandas UDF wrappers over the pure kernels.
+
+Exactly two UDF families exist in the whole engine (per SURVEY.md §2.6 and
+the BASELINE input_hint "no per-row Python"):
+
+1. ``text_extract_udf`` — S4, ``Abot/Core/Extractors/WebContentExtractor.cs``
+   charset precedence, byte-identical text (north_rule invariant).
+2. ``links_udf`` — T1+T3, ``Abot/Core/Parsers/HapHyperLinkParser.cs`` +
+   ``HyperLinkParser.GetUris``: href collection → absolutization →
+   first-seen in-page dedup, emitted as ``array<string>`` for ``posexplode``.
+
+Plus one small helper family for robots matching (F6) that evaluates
+pre-flattened per-domain rules against URL paths.
+
+All other operators are JVM-side Column expressions (whole-stage codegen).
+The UDFs receive Arrow batches (pandas Series); the per-row work inside the
+batch is unavoidable Python-object parsing (HTML), which is the same cost
+model as the reference's per-page HAP parse — but amortized over Arrow
+transfer and parallelized by Spark tasks.  Tune
+``spark.sql.execution.arrow.maxRecordsPerBatch`` for ~MB-sized html cells.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from abot_spark.config import CrawlConfig
+from abot_spark.functions.link_extract import get_links
+from abot_spark.functions.robots import path_allowed
+from abot_spark.functions.text_extract import extract_text
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("charset", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+URL_STRUCT = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("domain", StringType()),
+        StructField("path", StringType()),
+    ]
+)
+
+
+def _url_parts(url: str | None) -> tuple[str | None, str | None, str | None]:
+    from urllib.parse import urlsplit
+
+    from abot_spark.urls import authority, canonicalize
+
+    canon = canonicalize(url) if url else None
+    if canon is None:
+        return None, None, None
+    try:
+        path = urlsplit(canon).path or "/"
+    except ValueError:
+        path = "/"
+    return canon, authority(canon), path
+
+
+def canon_col(url: Column) -> Column:
+    """``url -> struct<url,domain,path>`` — .NET-Uri-parity canonical form
+    (:mod:`abot_spark.urls`), the seen-set key derivation (T8).  NULL when
+    the URL is invalid by .NET rules (dropped silently, T3)."""
+
+    @F.pandas_udf(URL_STRUCT)
+    def _canon(url_s: pd.Series) -> pd.DataFrame:
+        rows = [_url_parts(u) for u in url_s]
+        return pd.DataFrame(rows, columns=["url", "domain", "path"])
+
+    return _canon(url)
+
+
+def text_extract_col(html: Column, content_type: Column) -> Column:
+    """``(html binary, content_type) -> struct<charset,text>`` — S4.
+
+    Byte-identical to ``WebContentExtractor.GetContent`` (:42-79); the
+    kernel is :func:`abot_spark.functions.text_extract.extract_text`.
+    """
+
+    @F.pandas_udf(EXTRACT_SCHEMA)
+    def _extract(html_s: pd.Series, ctype_s: pd.Series) -> pd.DataFrame:
+        out_charset, out_text = [], []
+        for html_b, ctype in zip(html_s, ctype_s):
+            charset, text = extract_text(
+                bytes(html_b) if html_b is not None else None,
+                ctype if ctype is not None else None,
+            )
+            out_charset.append(charset)
+            out_text.append(text)
+        return pd.DataFrame({"charset": out_charset, "text": out_text})
+
+    return _extract(html, content_type)
+
+
+def links_col(cfg: CrawlConfig, text: Column, page_url: Column,
+              x_robots_tag: Column) -> Column:
+    """``(text, page_url, x_robots_tag) -> array<struct<url,domain,path>>``
+    — T1+T3.
+
+    ``text`` is the decoded html (the reference parses DOMs from
+    ``Content.Text`` — ``Abot/Poco/CrawledPage.cs:57-70``).  Output order is
+    the reference's scheduling order: all ``<a>``, then ``<area>``, then
+    canonical ``<link>``s, first-seen deduped (``HyperLinkParser.cs:201-202``).
+    domain/path ride along so the JVM side never re-parses the URL.
+    Config is captured by value in the closure (broadcast with the task).
+    """
+
+    @F.pandas_udf(ArrayType(URL_STRUCT))
+    def _links(text_s: pd.Series, url_s: pd.Series, xrt_s: pd.Series) -> pd.Series:
+        out = []
+        for text_v, url_v, xrt in zip(text_s, url_s, xrt_s):
+            if text_v is None or url_v is None:
+                out.append([])
+                continue
+            rows = []
+            for link in get_links(text_v, url_v, cfg, xrt):
+                canon, dom, path = _url_parts(link)
+                if canon is not None:
+                    rows.append({"url": canon, "domain": dom, "path": path})
+            out.append(rows)
+        return pd.Series(out)
+
+    return _links(text, page_url, x_robots_tag)
+
+
+def robots_allowed_col(path: Column, allow_rules: Column,
+                       disallow_rules: Column) -> Column:
+    """``(path, allow_rules, disallow_rules) -> boolean`` — F6 verdict.
+
+    Rules are pre-flattened per (domain, user-agent) by
+    :func:`abot_spark.functions.robots.parse_robots_rules` and arrive via a
+    broadcast join on domain; NULL rule arrays (no robots.txt) allow.
+    Longest-match semantics per the RobotsDotTextTest contract.
+    """
+
+    @F.pandas_udf(BooleanType())
+    def _allowed(path_s: pd.Series, allow_s: pd.Series, dis_s: pd.Series) -> pd.Series:
+        out = []
+        for path_v, allow_v, dis_v in zip(path_s, allow_s, dis_s):
+            if allow_v is None and dis_v is None:
+                out.append(True)
+                continue
+            out.append(
+                path_allowed(
+                    path_v if path_v else "/",
+                    list(allow_v) if allow_v is not None else [],
+                    list(dis_v) if dis_v is not None else [],
+                )
+            )
+        return pd.Series(out)
+
+    return _allowed(path, allow_rules, disallow_rules)

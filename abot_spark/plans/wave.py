@@ -1,0 +1,616 @@
+"""One crawl wave as a Spark plan — the heart of the engine.
+
+The reference's serial loop (``Abot/Crawler/WebCrawler.cs:502-539``)
+becomes BFS supersteps: one wave = one Spark job over the frontier table.
+Stages, in dataflow order (SURVEY.md §3.1 "Spark rebuild lifecycle"):
+
+    frontier_w → politeness quota (C3) → fetch join vs corpus (S3)
+    → F3 content gate → text-extract UDF (S4) → F4 size gate → F2
+    → link UDF + posexplode (T1/T3) → candidates
+    → in-wave first-occurrence dedup (T5) → seen left-join (anti path)
+    → robots gate (F6) → F1 decision chain with deterministic
+      budget/domain-cap windows → admitted → seq assignment
+    → next frontier + seen/audit appends
+
+Determinism strategy (SURVEY.md §4 "Deterministic ordering parity"):
+every admitted page carries a global FIFO rank ``seq``; candidates are
+ordered by ``(parent_seq, kind, pos)`` where kind ∈ {0: redirect child,
+1: parsed link, 2: retry} — exactly the serial enqueue order of
+``ProcessPage`` (redirect op at :705-707, links at :722-723, retry at
+:729-733).  Under this total order the serial counters become window
+functions:
+
+- global budget (``CrawledCount + Scheduler.Count + 1 > MaxPagesToCrawl``,
+  ``CrawlDecisionMaker.cs:58-68``): every admitted page consumes exactly
+  one slot, so "admit the k-th eligible candidate iff
+  ``budget_used + k <= max``" reproduces the serial check, including the
+  A3 latch (silent once tripped, ``WebCrawler.cs:908-944``).
+- per-domain cap (``CrawlCountByDomain``, incremented at processing start
+  ``:1092-1093``): the count a serial scheduler would see when scheduling
+  a child of page p equals |{admitted q: domain(q)=domain(child),
+  seq(q) <= seq(p)}| — computed with one union-window over
+  (frontier events +1) ∪ (candidate probes +0) cumulative per domain.
+
+Scale notes (10^10-URL frontier, 1000 executors):
+- the seen-set probe is a hash equi-join on ``xxhash64(url)``; at scale the
+  seen table is bucketed by ``pmod(url_hash, B)`` so the join is
+  storage-partitioned (no shuffle of the accumulated side), with per-bucket
+  Bloom sidecars pruning the probe (see ``store.py`` docstring).
+- ``assign_seq`` is the two-phase zipWithIndex pattern
+  (repartitionByRange → per-partition row_number → broadcast offsets), not
+  a single-partition global window.
+- the budget/domain windows run on the *candidate* set of one wave, which
+  is bounded by budget × branching, not by corpus size; the domain window
+  partitions by domain (politeness already bounds per-domain wave volume).
+- host skew in the fetch stage is handled by the politeness quota itself
+  (per-domain per-wave row caps) plus AQE skew-join splitting; a live-HTTP
+  deployment replaces the corpus join with a ``mapInPandas`` async-fetch
+  stage over ``repartition(concat(domain, '#', pmod(xxhash64(url), S)))``.
+
+Deviations from serial semantics (documented, test-excluded corners):
+- when ``max_links_per_page`` and ``max_pages_to_crawl`` are both tight in
+  the same wave the budget recount after the per-page cut is a second pass
+  (exact when only one of the two is active);
+- a same-wave duplicate whose first occurrence was a *denied* redirect
+  child suppresses the later occurrence (serial would re-decide it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from abot_spark.config import CrawlConfig
+from abot_spark.operators.decisions import (
+    reason_should_crawl_page_links,
+    reason_should_download_page_content,
+    reason_should_recrawl_page,
+)
+from abot_spark.functions.udfs import (
+    links_col,
+    robots_allowed_col,
+    text_extract_col,
+)
+
+ORD = ["parent_seq", "kind", "pos"]  # serial enqueue order within a wave
+
+
+# ---------------------------------------------------------------------------
+# seq assignment — scalable zipWithIndex (SURVEY.md §4.3)
+# ---------------------------------------------------------------------------
+
+def assign_seq(df: DataFrame, order_cols: list[str], start: int,
+               num_partitions: int = 32, seq_col: str = "seq") -> DataFrame:
+    """Deterministic global rank without a single-partition window.
+
+    repartitionByRange on the (total) order key → per-partition local
+    row_number → tiny per-partition count aggregate → broadcast cumulative
+    offsets.  The rank depends only on the total order, not on where the
+    range partitioner draws boundaries.
+    """
+    parted = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+    parted = parted.withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    parted = parted.withColumn("_lrn", F.row_number().over(w_local))
+    counts = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).drop("_cnt")
+    return (
+        parted.join(F.broadcast(offsets), "_pid")
+        .withColumn(seq_col, (F.lit(start) + F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus preparation — simulated HTTP with auto-redirect resolution (S3/T6)
+# ---------------------------------------------------------------------------
+
+CONTENT_COLS = ["status_code", "content_type", "html", "retry_after",
+                "x_robots_tag", "error"]
+
+
+def prepare_corpus(pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Resolve 3xx location chains like ``HttpWebRequest`` with
+    auto-redirects on (``PageRequester.cs:183-219`` sets
+    ``AllowAutoRedirect``; landing page becomes the response,
+    ``ResponseUri`` = final url — ``ExtractRedirectUri``,
+    ``WebCrawler.cs:1300-1323``).
+
+    Output: one row per *requested* url with the landing page's content
+    columns, ``response_url``, and the canonicalized ``location_canon``/
+    ``location_domain``/``location_path`` (used by the manual-redirect op
+    when auto-redirects are off).  Bounded loop of
+    ``http_request_max_auto_redirects`` self-joins, executed once per
+    crawl — cache/checkpoint the result before the wave loop.
+    """
+    from abot_spark.functions.udfs import canon_col
+
+    base = (
+        pages.select("url", *CONTENT_COLS, "location")
+        .withColumn("_loc", canon_col(F.col("location")))
+        .select(
+            "url", *CONTENT_COLS,
+            F.col("_loc.url").alias("location_canon"),
+            F.col("_loc.domain").alias("location_domain"),
+            F.col("_loc.path").alias("location_path"),
+        )
+    )
+    out = base.withColumn("response_url", F.col("url"))
+    if not cfg.is_http_request_auto_redirects_enabled:
+        return out
+
+    # landing-page lookup side (requested-url keyed)
+    target = base.select(
+        F.col("url").alias("_t_key"),
+        *[F.col(c).alias(f"_t_{c}") for c in CONTENT_COLS],
+        F.col("location_canon").alias("_t_location_canon"),
+        F.col("location_domain").alias("_t_location_domain"),
+        F.col("location_path").alias("_t_location_path"),
+    )
+    is_redirect = (
+        (F.col("status_code") >= 300) & (F.col("status_code") <= 399)
+        & F.col("location_canon").isNotNull()
+    )
+    for _ in range(cfg.http_request_max_auto_redirects):
+        pending = out.filter(is_redirect)
+        done = out.filter(~is_redirect)
+        if pending.isEmpty():
+            out = done
+            break
+        stepped = pending.join(
+            target, pending["location_canon"] == target["_t_key"], "left"
+        )
+        followed = stepped.select(
+            "url",
+            # missing target -> 404 + WebException (the .NET behavior)
+            F.coalesce("_t_status_code", F.lit(404)).alias("status_code"),
+            F.col("_t_content_type").alias("content_type"),
+            F.col("_t_html").alias("html"),
+            F.col("_t_retry_after").alias("retry_after"),
+            F.col("_t_x_robots_tag").alias("x_robots_tag"),
+            F.when(F.col("_t_status_code").isNull(), F.lit("WebException"))
+            .otherwise(F.col("_t_error")).alias("error"),
+            F.col("_t_location_canon").alias("location_canon"),
+            F.col("_t_location_domain").alias("location_domain"),
+            F.col("_t_location_path").alias("location_path"),
+            F.col("location_canon").alias("response_url"),
+        )
+        out = done.unionByName(followed)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fetch + extract + link explosion
+# ---------------------------------------------------------------------------
+
+def fetch_wave(frontier: DataFrame, corpus: DataFrame) -> DataFrame:
+    """S3: the fetch is an equi-join frontier⋈corpus on url.  Missing URLs
+    synthesize 404 + WebException (the .NET behavior for non-success)."""
+    joined = frontier.join(corpus, "url", "left")
+    return (
+        joined.withColumn("status_code",
+                          F.coalesce(F.col("status_code"), F.lit(404)))
+        .withColumn("response_url", F.coalesce("response_url", "url"))
+        .withColumn(
+            "error",
+            F.when(F.col("content_type").isNull() & (F.col("status_code") == 404),
+                   F.lit("WebException")).otherwise(F.col("error")),
+        )
+        .withColumn(
+            "has_web_exception",
+            F.col("error").isNotNull() | (F.col("status_code") >= 400),
+        )
+    )
+
+
+def extract_wave(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """F3 gate → S4 extract UDF (only on downloadable rows — the extract
+    branch is filtered *before* the UDF so Catalyst never ships
+    non-downloadable html bytes to Python) → F4 actual-size gate → F2."""
+    fetched = fetched.withColumn(
+        "download_reason",
+        reason_should_download_page_content(
+            cfg,
+            has_response=F.lit(True),
+            status_code=F.col("status_code"),
+            content_type=F.col("content_type"),
+            content_length=F.coalesce(F.length("html"), F.lit(-1)).cast("long"),
+        ),
+    )
+    downloadable = fetched.filter(F.col("download_reason").isNull())
+    rest = fetched.filter(F.col("download_reason").isNotNull())
+
+    extracted = downloadable.withColumn(
+        "_ext", text_extract_col(F.col("html"), F.col("content_type"))
+    ).select("*", F.col("_ext.charset").alias("charset"),
+             F.col("_ext.text").alias("text")).drop("_ext")
+    rest = rest.withColumn("charset", F.lit(None).cast("string")) \
+               .withColumn("text", F.lit(None).cast("string"))
+    out = extracted.unionByName(rest)
+
+    # F4 (WebCrawler.cs:841-858): oversized pages exit silently
+    if cfg.max_page_size_active:
+        out = out.withColumn(
+            "size_dropped",
+            F.coalesce(F.length("html"), F.lit(0)) > cfg.max_page_size_in_bytes,
+        )
+    else:
+        out = out.withColumn("size_dropped", F.lit(False))
+
+    out = out.withColumn(
+        "links_reason",
+        F.when(F.col("size_dropped"), F.lit(None).cast("string")).otherwise(
+            reason_should_crawl_page_links(
+                cfg,
+                text=F.col("text"),
+                is_internal=F.col("is_internal"),
+                depth=F.col("depth"),
+            )
+        ),
+    )
+    return out
+
+
+def explode_links(extracted: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """T1/T3: links UDF over F2-allowed pages, posexploded to candidates.
+
+    The UDF returns ``array<struct<url,domain,path>>`` (authority/path
+    computed in-batch, saving a JVM re-parse); base URI is
+    ``response_url`` (issue 82, ``HyperLinkParser.cs:162-165``).
+    """
+    linkable = extracted.filter(
+        (~F.col("size_dropped")) & F.col("links_reason").isNull()
+    )
+    with_links = linkable.withColumn(
+        "_links",
+        links_col(cfg, F.col("text"), F.col("response_url"),
+                  F.col("x_robots_tag")),
+    )
+    return (
+        with_links.select(
+            F.col("seq").alias("parent_seq"),
+            F.col("url").alias("parent_url"),
+            (F.col("depth") + 1).alias("depth"),
+            F.posexplode("_links").alias("pos", "_l"),
+        )
+        .select(
+            F.col("_l.url").alias("url"),
+            F.col("_l.domain").alias("domain"),
+            F.col("_l.path").alias("path"),
+            "parent_seq", "parent_url", "depth", "pos",
+        )
+        .withColumn("kind", F.lit(1))
+        .withColumn("is_retry", F.lit(False))
+        .withColumn("retry_count", F.lit(0))
+        .withColumn("redirected_from", F.lit(None).cast("string"))
+        .withColumn("redirect_position", F.lit(0))
+    )
+
+
+def redirect_candidates(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """T6 manual-redirect op (auto-redirects disabled): 3xx rows spawn a
+    child at the *same* depth with redirect_position+1
+    (``ProcessRedirect``, ``WebCrawler.cs:754-789``); parent_url is the
+    redirecting page's own parent.  Requires ``location_canon``/
+    ``location_domain``/``location_path`` columns (corpus prep)."""
+    redirects = fetched.filter(
+        (F.col("status_code") >= 300) & (F.col("status_code") <= 399)
+        & F.col("location_canon").isNotNull()
+    )
+    return redirects.select(
+        F.col("location_canon").alias("url"),
+        F.col("location_domain").alias("domain"),
+        F.col("location_path").alias("path"),
+        F.col("seq").alias("parent_seq"),
+        F.col("parent_url").alias("parent_url"),
+        F.col("depth").alias("depth"),
+        F.lit(0).alias("pos"),
+        F.lit(0).alias("kind"),
+        F.lit(False).alias("is_retry"),
+        F.lit(0).alias("retry_count"),
+        F.col("url").alias("redirected_from"),
+        (F.col("redirect_position") + 1).alias("redirect_position"),
+    )
+
+
+def retry_candidates(fetched: DataFrame, cfg: CrawlConfig,
+                     wave_ts_ms: int) -> DataFrame:
+    """F5: failed fetches re-enter the queue with IsRetry=true
+    (``ProcessPage`` :729-733, ``AddPageToContext`` pre-increments the
+    count at dequeue so the row carries the processing-time value).
+    ``Retry-After`` is integer seconds or an HTTP date relative to the
+    request time (``WebCrawler.cs:969-989``)."""
+    failed = fetched.filter(~F.col("size_dropped")).withColumn(
+        "recrawl_reason",
+        reason_should_recrawl_page(
+            cfg,
+            has_web_exception=F.col("has_web_exception"),
+            retry_count=F.col("retry_count"),
+        ),
+    ).filter(F.col("recrawl_reason").isNull())
+
+    retry_after_s = F.coalesce(
+        F.expr("try_cast(retry_after AS BIGINT)"),
+        (F.unix_timestamp(F.expr("try_to_timestamp(retry_after)"))
+         - F.lit(wave_ts_ms // 1000)),
+        F.lit(0),
+    )
+    delay_ms = F.greatest(
+        retry_after_s * 1000, F.lit(cfg.min_retry_delay_in_milliseconds)
+    )
+    return failed.select(
+        "url", "domain", "path",
+        F.col("seq").alias("parent_seq"),
+        F.col("parent_url"),
+        "depth",
+        F.lit(0).alias("pos"),
+        F.lit(2).alias("kind"),
+        F.lit(True).alias("is_retry"),
+        (F.col("retry_count") + 1).alias("retry_count"),
+        F.lit(None).cast("string").alias("redirected_from"),
+        F.lit(0).alias("redirect_position"),
+        (F.lit(wave_ts_ms) + delay_ms).alias("not_before_ms"),
+        "is_internal",
+    )
+
+
+# ---------------------------------------------------------------------------
+# the schedule op (T5 + F1 + F6 + A1-A3) — one wave's admission algebra
+# ---------------------------------------------------------------------------
+
+def schedule_wave(
+    candidates: DataFrame,
+    retries: DataFrame | None,
+    frontier_events: DataFrame,   # processed non-retry rows of wave w: (seq, domain)
+    seen: DataFrame | None,       # accumulated seen hashes: (url_hash,)
+    prior_counts: DataFrame | None,  # accumulated CrawlCountByDomain: (domain, cnt)
+    robots_rules: DataFrame | None,  # (domain, allow_rules, disallow_rules)
+    cfg: CrawlConfig,
+    *,
+    budget_used: int,
+    next_seq: int,
+    latched: bool,
+    root_authorities: tuple[str, str],
+    wave_ts_ms: int,
+    num_partitions: int = 32,
+) -> dict:
+    """``SchedulePageLinks`` (``WebCrawler.cs:1109-1155``) + the decision
+    pipeline as one declarative plan.  Returns dict with:
+
+    - ``admitted``: next-wave frontier rows (with assigned ``seq``)
+    - ``seen_add``: url hashes to append to the seen table
+    - ``disallowed``: (url, reason) audit rows (evented denials only —
+      the external short-circuit at ``:1177`` and the A3 latch at
+      ``:908-909`` are silent, matching the reference)
+    - ``stats``: dict of counters (admitted count, budget denials seen)
+
+    Candidate columns in: url, domain, path, parent_seq, parent_url,
+    depth, pos, kind(0=redirect child, 1=link), is_retry, retry_count,
+    redirected_from, redirect_position.
+    """
+    spark = candidates.sparkSession
+    cand = candidates.withColumn("url_hash", F.xxhash64("url"))
+
+    # -- known-URL pre-check (T5): accumulated seen + in-wave first-occurrence
+    if seen is not None:
+        seen_keys = seen.select("url_hash").distinct() \
+            .withColumn("_known", F.lit(True))
+        cand = cand.join(seen_keys, "url_hash", "left") \
+            .withColumn("is_known", F.coalesce("_known", F.lit(False))) \
+            .drop("_known")
+    else:
+        cand = cand.withColumn("is_known", F.lit(False))
+    w_dup = Window.partitionBy("url_hash").orderBy(*ORD)
+    cand = cand.withColumn("_occ", F.row_number().over(w_dup)) \
+               .withColumn("dup_skipped", F.col("_occ") > 1).drop("_occ")
+    # a known/dup link is still iterated (stays seen-marked) but never
+    # decided and never evented (Crawl_ExtractedLinksAreNotCheckedTwice)
+    decidable = ~F.col("is_known") & ~F.col("dup_skipped")
+
+    # -- F6 robots gate (PoliteWebCrawler.ShouldCrawlPage, before base F1)
+    if robots_rules is not None:
+        cand = cand.join(F.broadcast(robots_rules), "domain", "left")
+        robots_ok = robots_allowed_col(
+            F.col("path"), F.col("allow_rules"), F.col("disallow_rules"))
+        cand = cand.withColumn("robots_ok", robots_ok) \
+                   .drop("allow_rules", "disallow_rules")
+    else:
+        cand = cand.withColumn("robots_ok", F.lit(True))
+
+    # -- external classification (F8) + silent short-circuit (:1173-1177)
+    cand = cand.withColumn(
+        "is_internal", F.col("domain").isin(*set(root_authorities)))
+    silent_external = (~F.col("is_internal")
+                       & F.lit(not cfg.is_external_page_crawling_enabled))
+
+    # -- F1 static chain pieces (redirect cap, depth, scheme)
+    scheme = F.lower(F.substring_index(F.col("url"), "://", 1))
+    static_reason = F.when(
+        F.col("redirected_from").isNotNull()
+        & (F.col("redirect_position") > cfg.http_request_max_auto_redirects),
+        F.lit(f"HttpRequestMaxAutoRedirects limit of "
+              f"[{cfg.http_request_max_auto_redirects}] has been reached"),
+    ).when(
+        F.col("depth") > cfg.max_crawl_depth, F.lit("Crawl depth is above max")
+    ).when(
+        ~scheme.startswith("http"), F.lit("Scheme does not begin with http")
+    ).otherwise(F.lit(None).cast("string"))
+    cand = cand.withColumn("static_reason", static_reason)
+
+    # -- per-domain cap (A2 + F1): union-window reconstruction of the
+    #    serial CrawlCountByDomain reading (see module docstring)
+    if cfg.max_pages_per_domain_active:
+        ev = frontier_events.filter(~F.col("is_retry")).select(
+            "domain",
+            F.col("seq").alias("parent_seq"),
+            F.lit(-1).alias("kind"), F.lit(-1).alias("pos"),
+            F.lit(1).alias("_delta"),
+        )
+        probes = cand.select("url_hash", "domain", *ORD) \
+                     .withColumn("_delta", F.lit(0))
+        unioned = probes.unionByName(
+            ev.withColumn("url_hash", F.lit(None).cast("long")))
+        w_dom = Window.partitionBy("domain").orderBy(*ORD) \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        unioned = unioned.withColumn("_dom_cnt", F.sum("_delta").over(w_dom))
+        probe_counts = unioned.filter(F.col("_delta") == 0) \
+            .select("url_hash", *ORD, "_dom_cnt")
+        cand = cand.join(probe_counts, ["url_hash", *ORD], "left")
+        if prior_counts is not None:
+            # prior waves' CrawlCountByDomain snapshot: tiny (one row per
+            # domain) -> broadcast join
+            cand = cand.join(
+                F.broadcast(prior_counts.withColumnRenamed("cnt", "_prior")),
+                "domain", "left",
+            ).withColumn(
+                "_dom_cnt", F.col("_dom_cnt") + F.coalesce("_prior", F.lit(0))
+            ).drop("_prior")
+        cand = cand.withColumn(
+            "domain_cap_hit",
+            (F.col("_dom_cnt") > 0)
+            & (F.col("_dom_cnt") >= cfg.max_pages_to_crawl_per_domain),
+        ).drop("_dom_cnt")
+    else:
+        cand = cand.withColumn("domain_cap_hit", F.lit(False))
+
+    # -- budget (A1/A3): eligible candidates consume slots in serial order
+    pre_eligible = (decidable & F.col("robots_ok") & ~silent_external
+                    & F.col("static_reason").isNull()
+                    & ~F.col("domain_cap_hit") & F.lit(not latched))
+    cand = cand.withColumn("pre_eligible", pre_eligible)
+
+    n_retries = 0
+    if retries is not None:
+        retries = retries.withColumn("url_hash", F.xxhash64("url"))
+        n_retries = retries.count()
+
+    budget_denied = F.lit(False)
+    if cfg.max_pages_active:
+        # serial invariant: CrawledCount + Scheduler.Count changes by +1
+        # when a page is admitted and by -1 when a *retry* is dequeued
+        # (AddPageToContext bumps RetryCount only, :1084-1089, while the
+        # queue shrinks).  Cumulative-delta window over the serial order.
+        # Global window: bounded — budget is only active on bounded crawls;
+        # the two-phase assign_seq pattern applies if this ever hots up.
+        consumers = cand.filter("pre_eligible").select("url_hash", *ORD) \
+            .withColumn("_delta", F.lit(1))
+        if retries is not None and n_retries:
+            consumers = consumers.unionByName(
+                retries.select("url_hash", *ORD).withColumn("_delta", F.lit(1)))
+        released = frontier_events.filter("is_retry").select(
+            F.lit(None).cast("long").alias("url_hash"),
+            F.col("seq").alias("parent_seq"),
+            F.lit(-1).alias("kind"), F.lit(-1).alias("pos"),
+            F.lit(-1).alias("_delta"),
+        )
+        consumers = consumers.unionByName(released)
+        w_budget = Window.orderBy(*ORD, "url_hash") \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ranked = consumers.withColumn("_rn", F.sum("_delta").over(w_budget))
+        cand = cand.join(
+            ranked.filter(F.col("url_hash").isNotNull() & (F.col("_delta") == 1))
+            .select("url_hash", *ORD, "_rn"),
+            ["url_hash", *ORD], "left")
+        budget_denied = (F.col("pre_eligible")
+                         & (F.lit(budget_used) + F.col("_rn")
+                            > cfg.max_pages_to_crawl))
+    else:
+        cand = cand.withColumn("_rn", F.lit(None).cast("long"))
+    cand = cand.withColumn("budget_denied", budget_denied)
+    cand = cand.withColumn(
+        "admitted", F.col("pre_eligible") & ~F.col("budget_denied"))
+
+    # -- per-page link cap (T4): breaks the iteration; later links of the
+    #    page are neither decided nor marked known (:1162-1166 + loop break)
+    if cfg.max_links_per_page_active:
+        w_page = Window.partitionBy("parent_seq").orderBy("pos")
+        sched_rank = F.sum(
+            F.when(F.col("admitted") & (F.col("kind") == 1), 1).otherwise(0)
+        ).over(w_page.rowsBetween(Window.unboundedPreceding, 0))
+        cand = cand.withColumn("_srank", sched_rank)
+        break_pos = cand.filter(
+            (F.col("kind") == 1) & F.col("admitted")
+            & (F.col("_srank") == cfg.max_links_per_page)
+        ).groupBy("parent_seq").agg(F.min("pos").alias("_break_pos"))
+        cand = cand.join(F.broadcast(break_pos), "parent_seq", "left") \
+            .withColumn(
+                "iterated",
+                (F.col("kind") != 1) | F.col("_break_pos").isNull()
+                | (F.col("pos") <= F.col("_break_pos"))) \
+            .drop("_srank", "_break_pos")
+        cand = cand.withColumn(
+            "admitted", F.col("admitted") & F.col("iterated"))
+    else:
+        cand = cand.withColumn("iterated", F.lit(True))
+
+    # several downstream consumers (admitted / seen_add / disallowed /
+    # latch probe) — materialize once
+    cand = cand.cache()
+
+    # -- outputs ------------------------------------------------------------
+    admitted = cand.filter("admitted").select(
+        "url", "url_hash", "domain", "path",
+        F.col("parent_url"), "parent_seq", "depth", "kind", "pos",
+        "is_retry", "retry_count", "redirected_from", "redirect_position",
+        "is_internal",
+        F.lit(wave_ts_ms).alias("not_before_ms"),
+        F.lit(False).alias("is_root"),
+    )
+    if retries is not None and n_retries:
+        admitted = admitted.unionByName(
+            retries.withColumn("is_root", F.lit(False))
+            .select(*admitted.columns))
+    admitted = assign_seq(admitted, ORD + ["url_hash"], next_seq,
+                          num_partitions=num_partitions)
+
+    # AddKnownUri for every *iterated* link (:1153) + AddIfNew for admitted
+    # redirect children (Scheduler.Add path; denied redirect children are
+    # NOT marked — ProcessRedirect has no AddKnownUri loop)
+    seen_add = cand.filter(
+        ((F.col("kind") == 1) & F.col("iterated"))
+        | ((F.col("kind") == 0) & F.col("admitted"))
+    ).select("url_hash", "url").distinct()
+    if seen is not None:
+        seen_add = seen_add.join(seen.select("url_hash").distinct(),
+                                 "url_hash", "left_anti")
+
+    disallowed = cand.filter(
+        F.col("iterated") & ~F.col("is_known") & ~F.col("dup_skipped")
+        & ~silent_external & F.lit(not latched)
+        & (
+            ~F.col("robots_ok")
+            | F.col("static_reason").isNotNull()
+            | (F.col("robots_ok") & F.col("static_reason").isNull()
+               & F.col("domain_cap_hit"))
+        )
+    ).select(
+        "url",
+        F.when(
+            ~F.col("robots_ok"),
+            F.concat(F.lit("Page ["), F.col("url"),
+                     F.lit("] not crawled, [Disallowed by robots.txt file], "
+                           "set IsRespectRobotsDotText=false in config file "
+                           "if you would like to ignore robots.txt files.")),
+        ).when(F.col("static_reason").isNotNull(), F.col("static_reason"))
+        .otherwise(F.concat(
+            F.lit(f"MaxPagesToCrawlPerDomain limit of "
+                  f"[{cfg.max_pages_to_crawl_per_domain}] has been reached "
+                  f"for domain ["),
+            F.col("domain"), F.lit("]"))).alias("reason"),
+        F.lit(wave_ts_ms).alias("wave_ts_ms"),
+    )
+
+    any_budget_denial = False
+    if cfg.max_pages_active:
+        any_budget_denial = cand.filter("budget_denied").limit(1).count() > 0
+
+    return {
+        "admitted": admitted,
+        "seen_add": seen_add,
+        "disallowed": disallowed,
+        "any_budget_denial": any_budget_denial,
+        "n_retries": n_retries,
+    }
