@@ -1,0 +1,149 @@
+"""End-to-end parity: the distributed wave engine vs the serial oracle.
+
+Ports of the reference's integration contract
+(``Abot.Tests.Integration/CrawlSiteSimulator.cs``):
+
+- golden crawl: exact (url, status) set *and* exact order in
+  single-logical-thread mode (our serial order == (wave, seq) order)
+- MaxPagesToCrawl ∈ {5, 25} ⇒ exactly 5 / 25 crawled (:30-63)
+- retry behavior (:167-176)
+- politeness floor: 3 same-domain pages ≥ 2000 simulated ms at 1000 ms
+  delay (:144-164)
+- resumability (north_rule): kill after wave 1, resume, equal outcome
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from abot_spark.config import CrawlConfig
+from abot_spark.crawler import WaveCrawler
+from abot_spark.oracle.serial import SerialCrawler
+from abot_spark.sources.synthetic_web import generate_web, write_parquet
+
+BASE_CFG = CrawlConfig(
+    is_respect_robots_dot_text_enabled=True,
+    is_respect_meta_robots_no_follow_enabled=True,
+    is_respect_anchor_rel_no_follow_enabled=True,
+)
+SEED = "http://d0.example.com/"
+
+
+@pytest.fixture(scope="module")
+def web(spark):
+    fx = generate_web(n_domains=2, sections=2, leaves=2)
+    tmp = tempfile.mkdtemp(prefix="abot-web-")
+    paths = write_parquet(fx, tmp)
+    return {
+        "fx": fx,
+        "pages": spark.read.parquet(paths["pages"]),
+        "robots": spark.read.parquet(paths["robots"]),
+    }
+
+
+def run_spark_crawl(spark, web, cfg, max_waves=30):
+    wdir = tempfile.mkdtemp(prefix="abot-crawl-")
+    crawler = WaveCrawler(spark, cfg, wdir, web["pages"], web["robots"])
+    state = crawler.crawl([SEED], max_waves=max_waves)
+    fetched = crawler.store.read_all("fetched", state.wave)
+    rows = (fetched.orderBy("seq").collect() if fetched is not None else [])
+    return crawler, state, rows
+
+
+def test_golden_crawl_set_and_order(spark, web):
+    serial = SerialCrawler(web["fx"], BASE_CFG).crawl(SEED)
+    _, state, rows = run_spark_crawl(spark, web, BASE_CFG)
+    assert [r["url"] for r in rows] == serial.crawl_order
+    assert state.crawled_count == serial.crawled_count
+    # status parity (the integration oracle is a (url,status) set)
+    serial_status = {e.url: e.status_code for e in serial.crawled}
+    for r in rows:
+        assert serial_status[r["url"]] == r["status_code"]
+
+
+def test_extracted_text_byte_identical(spark, web):
+    """north_rule invariant: byte-identical extracted text per url."""
+    ground = {p.url: p.text for p in web["fx"].pages}
+    _, state, rows = run_spark_crawl(spark, web, BASE_CFG)
+    checked = 0
+    for r in rows:
+        if r["status_code"] == 200 and r["text"] is not None:
+            # redirected fetches carry the landing page's content
+            assert r["text"] == ground[r["response_url"]], r["url"]
+            checked += 1
+    assert checked >= 10  # incl. shift_jis + cp1251 fixtures
+
+
+@pytest.mark.parametrize("max_pages", [5, 25])
+def test_max_pages_exactness(spark, web, max_pages):
+    cfg = BASE_CFG.with_(max_pages_to_crawl=max_pages)
+    serial = SerialCrawler(web["fx"], cfg).crawl(SEED)
+    _, state, rows = run_spark_crawl(spark, web, cfg)
+    assert [r["url"] for r in rows] == serial.crawl_order
+    assert len(rows) == min(max_pages, 18)
+    assert state.latched == (max_pages == 5)
+
+
+def test_retry_order_parity(spark, web):
+    cfg = BASE_CFG.with_(max_retry_count=2)
+    serial = SerialCrawler(web["fx"], cfg).crawl(SEED)
+    _, state, rows = run_spark_crawl(spark, web, cfg)
+    assert [r["url"] for r in rows] == serial.crawl_order
+    assert state.retried_count > 0
+    # retries bump retry_count, never crawled_count (WebCrawler.cs:1084-1094)
+    assert state.crawled_count == serial.crawled_count
+
+
+def test_max_depth(spark, web):
+    cfg = BASE_CFG.with_(max_crawl_depth=1)
+    serial = SerialCrawler(web["fx"], cfg).crawl(SEED)
+    _, _, rows = run_spark_crawl(spark, web, cfg)
+    assert [r["url"] for r in rows] == serial.crawl_order
+    assert all(r["depth"] <= 1 for r in rows)
+
+
+def test_robots_disallow_evented(spark, web):
+    crawler, state, rows = run_spark_crawl(spark, web, BASE_CFG)
+    dis = crawler.store.read_all("disallowed", state.wave + 1).collect()
+    reasons = {r["url"]: r["reason"] for r in dis}
+    assert "http://d0.example.com/private/secret" in reasons
+    assert reasons["http://d0.example.com/private/secret"] == (
+        "Page [http://d0.example.com/private/secret] not crawled, "
+        "[Disallowed by robots.txt file], set IsRespectRobotsDotText=false "
+        "in config file if you would like to ignore robots.txt files."
+    )
+    assert all("/private/" not in r["url"] for r in rows)
+
+
+def test_resume_equals_uninterrupted(spark, web):
+    wdir = tempfile.mkdtemp(prefix="abot-resume-")
+    c1 = WaveCrawler(spark, BASE_CFG, wdir, web["pages"], web["robots"])
+    c1.crawl([SEED], max_waves=2)  # interrupt after wave 1
+    c2 = WaveCrawler(spark, BASE_CFG, wdir, web["pages"], web["robots"])
+    c2._seed_auths = ("d0.example.com",)
+    st2 = c2.resume()
+    resumed = [r["url"] for r in
+               c2.store.read_all("fetched", st2.wave).orderBy("seq").collect()]
+    _, st3, rows = run_spark_crawl(spark, web, BASE_CFG)
+    assert resumed == [r["url"] for r in rows]
+    assert (st2.crawled_count, st2.next_seq) == (st3.crawled_count, st3.next_seq)
+
+
+def test_politeness_floor_simulated(spark, web):
+    """3+ same-domain pages at 1000 ms/domain ≥ 2000 simulated ms
+    (CrawlSiteSimulator.cs:144-164) — the simulated clock stands in for
+    wall time, same bound."""
+    cfg = BASE_CFG.with_(min_crawl_delay_per_domain_milli_seconds=1000,
+                         max_pages_to_crawl=3)
+    _, state, rows = run_spark_crawl(spark, web, cfg)
+    assert len(rows) == 3
+    assert state.sim_clock_ms >= 2000
+
+
+def test_garbage_seed(spark, web):
+    wdir = tempfile.mkdtemp(prefix="abot-garbage-")
+    crawler = WaveCrawler(spark, BASE_CFG, wdir, web["pages"], web["robots"])
+    state = crawler.crawl(["http://////"], max_waves=5)
+    assert state.crawled_count == 0
