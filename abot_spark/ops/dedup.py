@@ -1,0 +1,172 @@
+"""Deduplication operators for a training-data pipeline over ``documents``.
+
+Four families, all shuffle-conscious and oracle-checkable (DuckDB SQL
+equivalents in ``__spark_entry__``):
+
+- exact:    md5(normalized text) hash-groupBy — one shuffle on the digest.
+- minhash:  word-shingle → k md5-salted lexicographic-min signatures →
+            band keys → bucket join.  String-min instead of numeric-min so
+            Spark and DuckDB produce byte-identical signatures.
+- simhash:  b-bit signature; bit j comes from the parity of the j-th hex
+            char of md5(token) (a deterministic ±1 projection identical in
+            both engines); Hamming-near pairs via same-band grouping.
+- ngram-jaccard: 3-word shingle explode → pair join on shingle →
+            |A∩B| / (|A|+|B|-|A∩B|).
+
+Scale notes (100 TB corpus):
+- every family is a map-side transform + one groupBy/join on a compact key
+  (digest / band key / shingle); no driver-side state, no O(n²) anywhere —
+  candidate pairs only materialize for colliding buckets;
+- the shingle-explode joins are the canonical "explode then aggregate"
+  MinHashLSH layout (cf. Spark MLlib MinHashLSH, reimplemented here
+  engine-agnostically so the oracle can verify it);
+- skewed buckets (boilerplate shingles) should be dropped by a document-
+  frequency cap — ``max_df`` prunes shingles occurring in more than the
+  given fraction of docs before the pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NORM_PATTERN = r"[^a-z0-9 ]"
+
+
+def normalize_text(text):
+    """Lowercase, strip non-alphanumerics, squeeze whitespace."""
+    t = F.lower(F.coalesce(text, F.lit("")))
+    t = F.regexp_replace(t, NORM_PATTERN, "")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """(doc_id, digest, canonical_doc_id, is_duplicate): canonical = min
+    doc_id per digest group."""
+    with_digest = documents.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("digest"))
+    w = Window.partitionBy("digest")
+    return with_digest.select(
+        "doc_id", "digest",
+        F.min("doc_id").over(w).alias("canonical_doc_id"),
+    ).withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_doc_id"))
+
+
+def word_shingles(text, n: int = 3):
+    """Distinct word n-grams of the normalized text."""
+    tokens = F.split(normalize_text(text), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signatures(documents: DataFrame, k: int = 8,
+                       shingle_n: int = 3) -> DataFrame:
+    """(doc_id, sig_0..sig_{k-1}): sig_i = min over shingles of
+    md5(i || ':' || shingle) — the lexicographic min of hex digests is a
+    valid minwise hash and is engine-portable."""
+    sh = word_shingles(F.col("text"), shingle_n)
+
+    def salted_min(i: int):
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
+
+    return documents.select(
+        "doc_id", *[salted_min(i).alias(f"sig_{i}") for i in range(k)])
+
+
+def minhash_bands(documents: DataFrame, k: int = 8, bands: int = 4,
+                  shingle_n: int = 3) -> DataFrame:
+    """(doc_id, band, band_key): band_key = md5 of the concatenated
+    signature slice — the LSH bucket key."""
+    sigs = minhash_signatures(documents, k, shingle_n)
+    rows_per_band = k // bands
+    out = None
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + j}")
+                for j in range(rows_per_band)]
+        band_df = sigs.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_key"))
+        out = band_df if out is None else out.unionByName(band_df)
+    return out
+
+
+def minhash_candidate_pairs(documents: DataFrame, k: int = 8,
+                            bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any LSH band bucket."""
+    b = minhash_bands(documents, k, bands, shingle_n)
+    left = b.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    right = b.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): b-bit simhash over distinct word 1-grams.
+
+    Bit j of token t = parity of the ascii code of char j of md5(t); the
+    document bit is the sign of sum(±1) over its tokens.  Packed little-
+    endian into a BIGINT."""
+    tokens = F.array_distinct(F.split(normalize_text(F.col("text")), " "))
+
+    def bit_contrib(j: int):
+        def merge(acc, t):
+            return acc + F.when(
+                F.ascii(F.substring(F.md5(t), j + 1, 1)) % 2 == 1,
+                F.lit(1)).otherwise(F.lit(-1))
+        return F.aggregate(tokens, F.lit(0), merge)
+
+    bit_terms = []
+    for j in range(bits):
+        contrib = bit_contrib(j)
+        bit_terms.append(
+            F.when(contrib > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return documents.select("doc_id", total.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
+                        threshold: float = 0.5,
+                        max_df: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs above ``threshold``.
+
+    Pair generation is via the shingle inverted index (join on shingle),
+    with document-frequency pruning of boilerplate shingles (``max_df``)
+    to kill bucket skew before the self-join.
+    """
+    n_docs = documents.count()
+    exploded = documents.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), shingle_n))
+        .alias("shingle"))
+    df_cap = int(n_docs * max_df)
+    common = exploded.groupBy("shingle") \
+        .agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > df_cap) \
+        .select("shingle")
+    pruned = exploded.join(F.broadcast(common), "shingle", "left_anti")
+    sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = pruned.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = pruned.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,94 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``).
+
+- ``cosine_topk``: brute-force cosine top-k — the correctness baseline.
+  Dot products via ``F.zip_with`` + ``F.aggregate`` (JVM-side higher-order
+  functions; no UDF, no collect).  Scores rounded to 4 decimals and ranked
+  with a deterministic (score desc, vec_id) tie-break so the DuckDB oracle
+  (``list_cosine_similarity``) matches bit-for-bit after rounding.
+- ``ivf_topk``: the scale path — inverted-file (IVF) search: assign every
+  vector to its nearest of C centroids (here: the first C vectors by
+  vec_id, a deterministic seeding identical in SQL), then search only
+  within the probe's cluster.  One broadcast join (C rows) + one shuffle
+  on cluster id instead of an all-pairs cross join: at 10^9 vectors ×
+  C=2^12 clusters the candidate set per query drops by ~C×.
+
+Scale notes: brute force is O(Q×N) — fine for reranking a candidate set,
+wrong as the primary index.  IVF (or LSH over random hyperplanes, see
+``ops/dedup.simhash`` for the portable projection trick) is the fan-out
+structure; both are one-shuffle plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_col(a, b):
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 4)
+
+
+def cosine_topk(embeddings: DataFrame, query_ids: list[int],
+                k: int = 5) -> DataFrame:
+    """(query_id, neighbor_id, rank, score): top-k cosine neighbors of
+    each query vector (self excluded)."""
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    pairs = F.broadcast(q).crossJoin(
+        embeddings.select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("embedding").alias("nv"))
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        cosine_col(F.col("qv"), F.col("nv")).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k) \
+        .select("query_id", "neighbor_id", "rank", "score")
+
+
+def assign_clusters(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """(vec_id, cluster): nearest centroid by cosine; centroids are the
+    first ``n_centroids`` vectors by vec_id (deterministic seeding —
+    k-means would refine these in practice; assignment plan is identical)."""
+    centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cv"))
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cluster",
+        cosine_col(F.col("embedding"), F.col("cv")).alias("score"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cluster"))
+    return scored.withColumn("rnk", F.row_number().over(w)) \
+        .filter(F.col("rnk") == 1).select("vec_id", "cluster")
+
+
+def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+             n_centroids: int = 8) -> DataFrame:
+    """IVF search: top-k within the query's own cluster only."""
+    clusters = assign_clusters(embeddings, n_centroids)
+    emb = embeddings.join(clusters, "vec_id")
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("cluster"))
+    pairs = F.broadcast(q).join(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("nv"), "cluster"),
+        "cluster",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        cosine_col(F.col("qv"), F.col("nv")).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k) \
+        .select("query_id", "neighbor_id", "rank", "score")

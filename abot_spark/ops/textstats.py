@@ -1,0 +1,100 @@
+"""Text-analysis operators for a training-data pipeline over ``documents``.
+
+All JVM-side Column expressions (whole-stage codegen; zero UDFs), each with
+an exact ANSI-SQL equivalent for the DuckDB oracle (see
+``__spark_entry__.oracle_sql``).  Cross-engine determinism rules used
+throughout the ops modules:
+
+- hashing is md5-hex-string based (identical output in Spark and DuckDB;
+  also matches the reference's seen-set being an MD5 prefix,
+  ``Abot/Core/Repositories/CrawledUrlRepository.cs:58-76``);
+- float outputs are rounded to 4 decimals before comparison;
+- every ranking has a total deterministic tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language marker lists for the n-gram/stopword language heuristic;
+# chosen to be regex-safe in both engines
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "with", "fast"],
+    "de": ["und", "der", "die", "das", "mit"],
+    "es": ["el", "la", "los", "con", "por"],
+    "fr": ["le", "les", "des", "avec", "pour"],
+    "zh": ["de", "shi", "zai", "he", "le"],
+}
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace tokenization; empty text -> 0 tokens."""
+    trimmed = F.trim(F.coalesce(text, F.lit("")))
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+")))
+
+
+def quality_cols(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality features."""
+    t = F.coalesce(text, F.lit(""))
+    n_chars = F.length(t)
+    n_tokens = token_count_col(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    stop_pat = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
+    n_stop = F.size(F.regexp_extract_all(F.lower(t), F.lit(stop_pat), F.lit(0)))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4),
+        "stopword_ratio": F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4),
+        "mean_token_len": F.round(
+            (n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1)), 4),
+    }
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    cols = quality_cols(F.col("text"))
+    return documents.select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()])
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    scores = {}
+    low = F.lower(F.coalesce(text, F.lit("")))
+    for lang, markers in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(markers) + r")\b"
+        scores[lang] = F.size(F.regexp_extract_all(low, F.lit(pat), F.lit(0)))
+    return scores
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-token language heuristic: argmax score, ties broken by the
+    fixed language order (deterministic in both engines via a greatest-of-
+    structs / CASE cascade)."""
+    scores = lang_scores(F.col("text"))
+    out = documents.select("doc_id", "lang", *[
+        c.alias(f"score_{k}") for k, c in scores.items()])
+    pred = None
+    # CASE cascade: first language with the maximal score wins
+    max_score = F.greatest(*[F.col(f"score_{k}") for k in LANG_MARKERS])
+    for k in LANG_MARKERS:
+        cond = F.col(f"score_{k}") == max_score
+        pred = F.when(cond, F.lit(k)) if pred is None else pred.when(cond, F.lit(k))
+    return out.withColumn("pred_lang", pred)
+
+
+def fingerprint(documents: DataFrame, k: int = 8) -> DataFrame:
+    """Document fingerprint: lexicographic-min md5 over word k-grams
+    (winnowing-lite).  Shorter docs fall back to the whole-text hash."""
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tokens) - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(tokens, i + 1, k), " "),
+    )
+    fp = F.array_min(F.transform(grams, lambda g: F.md5(g)))
+    return documents.select(
+        "doc_id",
+        F.coalesce(fp, F.md5(F.col("text"))).alias("fingerprint"),
+    )
