@@ -69,8 +69,11 @@ class CrawlConfig:
     min_retry_delay_in_milliseconds: int = 0
 
     # -- engine-specific (no Abot equivalent) -------------------------------
+    audit_text: bool = True           # False: fetched audit stores sha256+len
+                                      # instead of the full text (scale mode:
+                                      # the corpus already holds the bytes)
     wave_seconds: float = 60.0        # politeness quota horizon per wave
-    shuffle_partitions: int = 32      # sized to executor memory at target SF
+    shuffle_partitions: int = 0       # 0 = inherit spark.sql.shuffle.partitions
     seen_buckets: int = 64            # hash buckets for the seen-set table
     domain_salt: int = 8              # salt factor for skewed-domain fetch
     bloom_expected_items: int = 10_000_000

@@ -59,6 +59,8 @@ class WaveCrawler:
                  pages: DataFrame, robots: DataFrame | None = None):
         self.spark = spark
         self.cfg = cfg
+        self._nparts = cfg.shuffle_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32"))
         self.store = CrawlStore(spark, work_dir)
         self.pages = pages
         self.robots_df = robots
@@ -69,7 +71,23 @@ class WaveCrawler:
     # -- setup ---------------------------------------------------------------
 
     def _prepare(self, state: CrawlState) -> None:
-        self._corpus = W.prepare_corpus(self.pages, self.cfg).localCheckpoint()
+        # MB-sized html/text cells: the default 10k-record Arrow batch is
+        # ~GBs per python worker; cap so UDF transfer stays ~tens of MB.
+        self.spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # The fetch join must broadcast the *frontier* side — shuffling the
+        # html-bearing corpus is GBs per wave vs MBs of frontier rows.  (At
+        # 10^10-URL scale with an Iceberg corpus this becomes a storage-
+        # partitioned join on bucket(url) instead of a broadcast.)
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                            str(256 * 1024 * 1024))
+        # The broadcast fetch join makes every downstream stage — extract
+        # UDF, link UDF, explode — inherit the CORPUS partitioning.
+        # Repartition it once to full parallelism or the whole wave runs at
+        # the parquet reader's partition count.
+        self._corpus = W.prepare_corpus(
+            self.pages.repartition(self._nparts, "url"),
+            self.cfg).localCheckpoint()
         self._robots_rules = None
         self._robots_delay_ms = {}
         if (self.cfg.is_respect_robots_dot_text_enabled
@@ -104,6 +122,11 @@ class WaveCrawler:
     # -- public API ----------------------------------------------------------
 
     per_domain_robots: bool = False
+    use_sitemaps: bool = False  # S2: GoogleWebCrawler sitemap seeding
+    # F9 ShouldScheduleLinkDecisionMaker: a Column predicate over the
+    # candidate columns (url, domain, path, depth, parent_url, ...);
+    # False vetoes the link silently before the decision pipeline.
+    user_link_predicate = None
 
     def crawl(self, seed_urls: list[str], max_waves: int = 1000) -> CrawlState:
         state = CrawlState()
@@ -159,6 +182,9 @@ class WaveCrawler:
                     self._robots_rules = None
                     self._robots_delay_ms = {}
 
+        if self.use_sitemaps:
+            seeds = seeds + self._sitemap_items(seeds, state)
+
         rows = []
         for i, s in enumerate(seeds):
             rows.append((s, authority(s),
@@ -178,7 +204,7 @@ class WaveCrawler:
             cfg, budget_used=state.budget_used, next_seq=0,
             latched=False,
             root_authorities=self._root_authorities(state),
-            wave_ts_ms=0, num_partitions=cfg.shuffle_partitions,
+            wave_ts_ms=0, num_partitions=self._nparts,
         )
         frontier0 = sched["admitted"].withColumn("is_root", F.lit(True)) \
             .withColumn("wave", F.lit(0))
@@ -191,6 +217,37 @@ class WaveCrawler:
         state.budget_used = n
         state.latched = sched["any_budget_denial"]
         state.wave = -1  # the loop starts at wave 0
+
+    def _sitemap_items(self, seeds: list[str], state: CrawlState) -> list[str]:
+        """S2 (GoogleWebCrawler.cs:123-136, 159-190): robots ``Sitemap:``
+        URLs expanded (index recursion) into item URLs that enter the
+        frontier at depth 0, after the root seeds and before the crawl."""
+        from abot_spark.functions.robots import RobotsDotText
+        from abot_spark.functions.sitemaps import resolve_sitemaps
+
+        if self.robots_df is None or not seeds:
+            return []
+        robots_txt = {r["domain"]: r["robots_txt"]
+                      for r in self.robots_df.collect()}
+        txt = robots_txt.get(state.root_authority)
+        if not txt:
+            return []
+        sitemap_urls = RobotsDotText(seeds[0], txt).sitemaps
+        if not sitemap_urls:
+            return []
+        # sitemap docs are few: resolve driver-side against the corpus
+        xml_pages = {
+            r["url"]: bytes(r["html"]).decode("utf-8", errors="replace")
+            for r in self.pages.filter(
+                F.col("content_type").contains("xml")).collect()
+        }
+        items = resolve_sitemaps(sitemap_urls, xml_pages.get)
+        out = []
+        for u in items:
+            cu = canonicalize(u)
+            if cu is not None and cu not in seeds:
+                out.append(cu)
+        return out
 
     @staticmethod
     def _path_of(url: str) -> str:
@@ -230,17 +287,29 @@ class WaveCrawler:
         t0 = time.monotonic()
         wave_ts = state.sim_clock_ms
         w = state.wave
+        import os as _os
+        _timing = _os.environ.get("ABOT_WAVE_TIMING")
+        _last = [time.monotonic()]
+
+        def _tick(label: str) -> None:
+            if _timing:
+                now = time.monotonic()
+                print(f"WAVETIME wave={w} {label}={now - _last[0]:.2f}s",
+                      flush=True)
+                _last[0] = now
 
         # C3 politeness: per-domain quota for this wave + simulated pacing
         delays = self._effective_delays()
         due, deferred, wave_elapsed_ms = self._politeness_split(
             frontier, delays, wave_ts)
 
+        _tick("politeness")
         fetched = W.fetch_wave(due, self._corpus)
         extracted = W.extract_wave(fetched, cfg) \
             .withColumn("task_partition_id", F.spark_partition_id()) \
             .drop("html").localCheckpoint()
 
+        _tick("fetch_extract_ckpt")
         # root redirect rewrites RootUri (ValidateRootUriForRedirection,
         # WebCrawler.cs:1277-1291) — root rows are wave-0 and few: collect
         if w == 0:
@@ -251,23 +320,28 @@ class WaveCrawler:
 
         # audits: completed events (S6); size-dropped pages are silent
         completed = extracted.filter(~F.col("size_dropped"))
+        text_cols = (
+            [F.col("text")] if cfg.audit_text else
+            [F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("text_sha"),
+             F.length("text").alias("text_len")]
+        )
         self.store.write_wave("fetched", w, completed.select(
             "url", "seq", "depth", "parent_url", "status_code", "charset",
-            "text", "domain", "is_retry", "retry_count", "response_url",
-            "task_partition_id",
+            *text_cols, "domain", "is_retry", "retry_count", "response_url",
+            "links_reason", "task_partition_id",
             F.lit(w).alias("wave"), F.lit(wave_ts).alias("wave_ts_ms"),
         ))
-        self.store.write_wave("links_disallowed", w, completed.filter(
-            F.col("links_reason").isNotNull()
-        ).select("url", F.col("links_reason").alias("reason")))
 
+        _tick("fetched_audit_write")
         # candidate generation: links (T1/T3) + redirect children (T6)
         candidates = W.explode_links(extracted, cfg)
         if not cfg.is_http_request_auto_redirects_enabled:
             candidates = candidates.unionByName(
                 W.redirect_candidates(extracted, cfg))
-        candidates = candidates.localCheckpoint()
+        # no checkpoint here: schedule_wave caches the decided candidate set
+        # before its multiple consumers, so the link UDF runs exactly once
 
+        _tick("links_explode_ckpt")
         retries = None
         if cfg.max_retry_count > 0:
             retries = W.retry_candidates(extracted, cfg, wave_ts) \
@@ -291,9 +365,13 @@ class WaveCrawler:
             latched=state.latched,
             root_authorities=self._root_authorities(state),
             wave_ts_ms=wave_ts + wave_elapsed_ms,
-            num_partitions=cfg.shuffle_partitions,
+            num_partitions=self._nparts,
+            user_link_predicate=(
+                self.user_link_predicate() if callable(self.user_link_predicate)
+                else self.user_link_predicate),
         )
 
+        _tick("schedule_build")
         admitted = sched["admitted"].withColumn("wave", F.lit(w + 1)) \
             .select([f.name for f in FRONTIER_SCHEMA.fields])
         next_frontier = admitted
@@ -307,11 +385,13 @@ class WaveCrawler:
         self.store.write_wave("seen", w + 1, sched["seen_add"])
         self.store.write_wave("disallowed", w + 1, sched["disallowed"])
 
-        # counter updates (A1/A2)
-        processed = due.filter(~F.col("is_retry"))
-        n_processed = processed.count()
-        n_retried = due.filter("is_retry").count()
-        wave_counts = processed.groupBy("domain") \
+        _tick("frontier_seen_writes")
+        # counter updates (A1/A2) — one aggregate for both counts
+        by_kind = {r["is_retry"]: r["n"] for r in due.groupBy("is_retry")
+                   .agg(F.count(F.lit(1)).alias("n")).collect()}
+        n_processed = by_kind.get(False, 0)
+        n_retried = by_kind.get(True, 0)
+        wave_counts = due.filter(~F.col("is_retry")).groupBy("domain") \
             .agg(F.count(F.lit(1)).alias("cnt"))
         if prior_counts is not None:
             wave_counts = wave_counts.unionByName(prior_counts) \
@@ -319,7 +399,10 @@ class WaveCrawler:
         self.store.write_wave(
             "counts", w, wave_counts.withColumn("wave", F.lit(w)))
 
-        n_frontier_next = self.store.read_wave("frontier", w + 1).count()
+        _tick("counts")
+        nf = self.store.read_wave("frontier", w + 1).cache()
+        n_frontier_next = nf.count()
+        n_new_retries = nf.filter("is_retry").count() if cfg.max_retry_count > 0 else 0
         n_deferred = deferred.count() if deferred is not None else 0
         n_admitted = n_frontier_next - n_deferred
 
@@ -334,15 +417,15 @@ class WaveCrawler:
         # not_before if everything queued is in the future
         state.sim_clock_ms = wave_ts + max(wave_elapsed_ms, 1)
         if n_frontier_next > 0:
-            nf = self.store.read_wave("frontier", w + 1)
             min_due = nf.agg(F.min("not_before_ms")).collect()[0][0]
             if min_due is not None and min_due > state.sim_clock_ms:
                 state.sim_clock_ms = min_due
+        nf.unpersist()
 
         state.metrics.append({
             "wave": w, "due": n_processed + n_retried,
             "deferred": n_deferred,
-            "admitted": n_admitted, "retries": sched["n_retries"],
+            "admitted": n_admitted, "retries": n_new_retries,
             "frontier_next": n_frontier_next,
             "sim_ms": state.sim_clock_ms,
             "wall_ms": int((time.monotonic() - t0) * 1000),
@@ -374,6 +457,9 @@ class WaveCrawler:
         not_due = F.col("not_before_ms") > F.lit(wave_ts)
 
         if not delays and base <= 0:
+            if self.cfg.max_retry_count <= 0:
+                # no source of future not_before_ms -> whole frontier is due
+                return frontier, None, 0
             due = frontier.filter(~not_due)
             deferred = frontier.filter(not_due)
             has_deferred = not deferred.isEmpty()

@@ -59,7 +59,8 @@ def _url_parts(url: str | None) -> tuple[str | None, str | None, str | None]:
 
     from abot_spark.urls import authority, canonicalize
 
-    canon = canonicalize(url) if url else None
+    # all-null Arrow batches surface as NaN floats in pandas
+    canon = canonicalize(url) if isinstance(url, str) and url else None
     if canon is None:
         return None, None, None
     try:

@@ -145,12 +145,12 @@ def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
     n_docs = documents.count()
     exploded = documents.select(
         "doc_id", F.explode(word_shingles(F.col("text"), shingle_n))
-        .alias("shingle"))
+        .alias("shingle")).cache()  # feeds df-prune, sizes, and both join sides
     df_cap = int(n_docs * max_df)
     common = exploded.groupBy("shingle") \
         .agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > df_cap) \
         .select("shingle")
-    pruned = exploded.join(F.broadcast(common), "shingle", "left_anti")
+    pruned = exploded.join(F.broadcast(common), "shingle", "left_anti").cache()
     sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = pruned.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = pruned.select(F.col("doc_id").alias("doc_b"), "shingle")

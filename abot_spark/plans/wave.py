@@ -376,6 +376,7 @@ def schedule_wave(
     root_authorities: tuple[str, str],
     wave_ts_ms: int,
     num_partitions: int = 32,
+    user_link_predicate=None,
 ) -> dict:
     """``SchedulePageLinks`` (``WebCrawler.cs:1109-1155``) + the decision
     pipeline as one declarative plan.  Returns dict with:
@@ -403,12 +404,24 @@ def schedule_wave(
             .drop("_known")
     else:
         cand = cand.withColumn("is_known", F.lit(False))
+    if cfg.is_uri_recrawling_enabled:
+        # AllowUriRecrawling bypasses AddIfNew on Scheduler.Add
+        # (Scheduler.cs:78-86) — it affects direct Add paths (redirect
+        # children, kind 0); parsed links are still deduped by the
+        # IsUriKnown pre-check in SchedulePageLinks (:1113-1117).
+        cand = cand.withColumn(
+            "is_known", F.col("is_known") & (F.col("kind") != 0))
     w_dup = Window.partitionBy("url_hash").orderBy(*ORD)
     cand = cand.withColumn("_occ", F.row_number().over(w_dup)) \
                .withColumn("dup_skipped", F.col("_occ") > 1).drop("_occ")
     # a known/dup link is still iterated (stays seen-marked) but never
     # decided and never evented (Crawl_ExtractedLinksAreNotCheckedTwice)
     decidable = ~F.col("is_known") & ~F.col("dup_skipped")
+    if user_link_predicate is not None:
+        # F9 ShouldScheduleLinkDecisionMaker (WebCrawler.cs:1117-1118):
+        # user veto runs before the child is even built; denial is silent
+        # and the link is still marked known.
+        decidable = decidable & user_link_predicate
 
     # -- F6 robots gate (PoliteWebCrawler.ShouldCrawlPage, before base F1)
     if robots_rules is not None:
@@ -482,10 +495,8 @@ def schedule_wave(
                     & ~F.col("domain_cap_hit") & F.lit(not latched))
     cand = cand.withColumn("pre_eligible", pre_eligible)
 
-    n_retries = 0
     if retries is not None:
         retries = retries.withColumn("url_hash", F.xxhash64("url"))
-        n_retries = retries.count()
 
     budget_denied = F.lit(False)
     if cfg.max_pages_active:
@@ -497,7 +508,7 @@ def schedule_wave(
         # the two-phase assign_seq pattern applies if this ever hots up.
         consumers = cand.filter("pre_eligible").select("url_hash", *ORD) \
             .withColumn("_delta", F.lit(1))
-        if retries is not None and n_retries:
+        if retries is not None:
             consumers = consumers.unionByName(
                 retries.select("url_hash", *ORD).withColumn("_delta", F.lit(1)))
         released = frontier_events.filter("is_retry").select(
@@ -559,7 +570,7 @@ def schedule_wave(
         F.lit(wave_ts_ms).alias("not_before_ms"),
         F.lit(False).alias("is_root"),
     )
-    if retries is not None and n_retries:
+    if retries is not None:
         admitted = admitted.unionByName(
             retries.withColumn("is_root", F.lit(False))
             .select(*admitted.columns))
@@ -612,5 +623,4 @@ def schedule_wave(
         "seen_add": seen_add,
         "disallowed": disallowed,
         "any_budget_denial": any_budget_denial,
-        "n_retries": n_retries,
     }

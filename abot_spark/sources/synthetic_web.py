@@ -64,11 +64,24 @@ class WebFixture:
 
 
 def _page(url: str, body_links: list[str], title: str, *, extra: str = "",
-          lang: str = "en", ts_off: int = 0) -> PageRec:
+          lang: str = "en", ts_off: int = 0, filler_kb: int = 0,
+          filler_anchors: int = 0) -> PageRec:
     anchors = "\n".join(f'<a href="{href}">link</a>' for href in body_links)
+    if filler_anchors:
+        # CPU-heavy realistic pages: many distinct anchors (parse +
+        # absolutize + canonicalize work per link, like real link farms)
+        anchors += "\n" + "\n".join(
+            f'<a href="/f/{ts_off % 97}/{i}?ref={ts_off}">f{i}</a>'
+            for i in range(filler_anchors))
+    filler = ""
+    if filler_kb:
+        para = (f"<p>deterministic filler for {title} — the quick crawl "
+                "indexes pages across domains with politeness budgets and "
+                "charset-aware extraction. </p>\n")
+        filler = para * max(1, (filler_kb * 1024) // len(para))
     html_text = (
         f"<html><head><title>{title}</title></head>\n"
-        f"<body><h1>{title}</h1>\n{anchors}\n{extra}</body></html>"
+        f"<body><h1>{title}</h1>\n{anchors}\n{filler}{extra}</body></html>"
     )
     data = html_text.encode("utf-8")
     return PageRec(
@@ -84,6 +97,8 @@ def generate_web(
     seed: int = 42,
     zipf: bool = False,
     with_fixtures: bool = True,
+    filler_kb: int = 0,
+    filler_anchors: int = 0,
 ) -> WebFixture:
     """Build the deterministic site graph.
 
@@ -113,7 +128,8 @@ def generate_web(
                 "/dup", "/dup#frag", "http://////",  # dup + malformed
             ]
         ts += 1
-        fx.pages.append(_page(root + "/", home_links, f"home d{i}", ts_off=ts))
+        fx.pages.append(_page(root + "/", home_links, f"home d{i}", ts_off=ts,
+                              filler_kb=filler_kb, filler_anchors=filler_anchors))
 
         for j in range(dom_sections):
             sec_url = f"{root}/s/{j}"
@@ -122,7 +138,8 @@ def generate_web(
             if j > 0:
                 sec_links.append(f"/s/{j - 1}")  # cross-section dup discovery
             ts += 1
-            fx.pages.append(_page(sec_url, sec_links, f"sec d{i}/{j}", ts_off=ts))
+            fx.pages.append(_page(sec_url, sec_links, f"sec d{i}/{j}", ts_off=ts,
+                                  filler_kb=filler_kb, filler_anchors=filler_anchors))
             for k in range(dom_leaves):
                 leaf_url = f"{sec_url}/p/{k}"
                 leaf_links = []
@@ -130,17 +147,20 @@ def generate_web(
                     leaf_links.append(f"/s/{rng.randrange(dom_sections)}")
                 ts += 1
                 fx.pages.append(
-                    _page(leaf_url, leaf_links, f"leaf d{i}/{j}/{k}", ts_off=ts)
+                    _page(leaf_url, leaf_links, f"leaf d{i}/{j}/{k}", ts_off=ts,
+                          filler_kb=filler_kb, filler_anchors=filler_anchors)
                 )
 
         if with_fixtures:
             fx.pages.extend(_fixture_pages(root, ts))
+            fx.pages.extend(_sitemap_pages(root))
             ts += 20
         fx.robots.append(
             (
                 f"d{i}.example.com",
                 "User-agent: *\nDisallow: /private/\n"
-                + ("Crawl-delay: 2\n" if i % 2 == 1 else ""),
+                + ("Crawl-delay: 2\n" if i % 2 == 1 else "")
+                + (f"Sitemap: {root}/sitemap.xml\n" if with_fixtures else ""),
             )
         )
 
@@ -284,3 +304,29 @@ def write_parquet(fx: WebFixture, out_dir: str) -> dict[str, str]:
     paths["seeds"] = os.path.join(out_dir, "seeds.parquet")
     pq.write_table(seeds, paths["seeds"])
     return paths
+
+
+def _sitemap_pages(root: str) -> list[PageRec]:
+    """Sitemap fixtures (S2): an index pointing at a urlset that lists one
+    linked page and one orphan reachable only via the sitemap."""
+    index = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        f"<sitemap><loc>{root}/sitemap-a.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    urlset = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        f"<url><loc>{root}/s/0</loc></url>"
+        f"<url><loc>{root}/orphan</loc></url>"
+        "</urlset>"
+    )
+    orphan = b"<html><body>orphan reachable only via sitemap</body></html>"
+    return [
+        PageRec(url=f"{root}/sitemap.xml", html=index.encode(),
+                text=index, content_type="application/xml"),
+        PageRec(url=f"{root}/sitemap-a.xml", html=urlset.encode(),
+                text=urlset, content_type="application/xml"),
+        PageRec(url=f"{root}/orphan", html=orphan, text=orphan.decode()),
+    ]

@@ -54,8 +54,8 @@ class CrawlState:
 
 
 class CrawlStore:
-    TABLES = ("frontier", "seen", "fetched", "disallowed", "links_disallowed",
-              "counts")
+    # links_disallowed audit rides inside `fetched` (links_reason column)
+    TABLES = ("frontier", "seen", "fetched", "disallowed", "counts")
 
     def __init__(self, spark: SparkSession, work_dir: str):
         self.spark = spark

@@ -1,0 +1,131 @@
+"""Per-round benchmark: crawl throughput + headline pipeline queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "crawl": {"pages": N, "sec": s, "pages_per_sec": r}}
+
+Env:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default 32)
+  BENCH_CRAWL_DOMAINS / BENCH_CRAWL_SECTIONS / BENCH_CRAWL_LEAVES to size
+  the synthetic crawl corpus (defaults target a ~60-90 s total run).
+
+Scaling-efficiency evidence (N vs 4N cores, north_rule) is produced by
+``tools/bench_scaling.py`` and recorded in ``BENCH.md``/``BASELINE.md`` —
+this script is the single-configuration per-round probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("abot-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def bench_crawl(spark, cpus: int) -> dict:
+    """Pages fetched+extracted per second on a Zipf-skewed synthetic web."""
+    from abot_spark.config import CrawlConfig
+    from abot_spark.crawler import WaveCrawler
+    from abot_spark.sources.synthetic_web import generate_web, write_parquet
+
+    n_domains = int(os.environ.get("BENCH_CRAWL_DOMAINS", "40"))
+    sections = int(os.environ.get("BENCH_CRAWL_SECTIONS", "8"))
+    leaves = int(os.environ.get("BENCH_CRAWL_LEAVES", "10"))
+
+    fx = generate_web(n_domains=n_domains, sections=sections, leaves=leaves,
+                      zipf=True, with_fixtures=False)
+    data_dir = tempfile.mkdtemp(prefix="abot-bench-web-")
+    paths = write_parquet(fx, data_dir)
+    pages = spark.read.parquet(paths["pages"])
+    n_corpus = pages.count()
+
+    cfg = CrawlConfig(
+        is_external_page_crawling_enabled=True,  # crawl across all domains
+        max_pages_to_crawl=0,                    # unbounded: crawl the corpus
+        shuffle_partitions=max(cpus, 8),
+        audit_text=False,                        # digest-only audit (scale mode)
+    )
+    crawler = WaveCrawler(
+        spark, cfg, tempfile.mkdtemp(prefix="abot-bench-crawl-"),
+        pages, None)
+    t0 = time.monotonic()
+    state = crawler.crawl([f"http://d{i}.example.com/"
+                           for i in range(n_domains)], max_waves=12)
+    sec = time.monotonic() - t0
+    fetched = crawler.store.read_all("fetched", state.wave)
+    n = fetched.count() if fetched is not None else 0
+    return {
+        "corpus_pages": n_corpus,
+        "pages": n,
+        "waves": state.wave + 1,
+        "sec": round(sec, 2),
+        "pages_per_sec": round(n / sec, 1) if sec > 0 else 0.0,
+    }
+
+
+HEADLINE = [
+    "crawl_seen_antijoin", "crawl_decisions_f1", "crawl_domain_cap",
+    "dedup_exact", "dedup_minhash_bands", "dedup_ngram_pairs",
+    "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk",
+    "text_quality", "text_langid", "text_fingerprint",
+    "sessionize", "lineitem_pricing", "media_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    total0 = time.monotonic()
+    crawl = bench_crawl(spark, cpus)
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+    timings["crawl_wave_loop"] = crawl["sec"]
+    total = round(time.monotonic() - total0, 2)
+
+    print(json.dumps({
+        "metric": ("pages fetched+extracted/sec (synthetic Zipf web, "
+                   "wave loop) + headline operator suite"),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "crawl": crawl,
+    }))
+
+
+if __name__ == "__main__":
+    main()

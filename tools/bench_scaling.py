@@ -1,0 +1,120 @@
+"""Scaling-efficiency evidence for BASELINE.md (north_rule: throughput
+scaling >= 0.8 from N to 4N executors; sandbox proxy = the same wave job
+at local[N] vs local[4N] on the same input).
+
+The measured unit is the *wave job* — fetch join + extract UDF + link UDF
++ explode + schedule algebra over the full frontier — because that is the
+data-proportional work that scales with executors; the wave *loop* adds a
+fixed per-wave driver cost that is wave-count-, not data-, proportional.
+Both numbers are reported.
+
+Usage: python tools/bench_scaling.py [--low 8] [--high 32]
+Writes JSON to stdout; paste the table into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+from pyspark.sql import SparkSession
+from abot_spark.config import CrawlConfig
+from abot_spark.crawler import WaveCrawler
+
+cpus = int(sys.argv[1])
+data_dir = sys.argv[2]
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "48g")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+pages = spark.read.parquet(f"{{data_dir}}/pages.parquet")
+seeds = [r["url"] for r in pages.select("url").collect()]
+cfg = CrawlConfig(is_external_page_crawling_enabled=True,
+                  max_pages_to_crawl=0, shuffle_partitions=max(cpus, 8),
+                  audit_text=False)
+crawler = WaveCrawler(spark, cfg,
+                      tempfile.mkdtemp(prefix=f"abot-scale-{{cpus}}-"),
+                      pages, None)
+t0 = time.monotonic()
+state = crawler.crawl(seeds, max_waves=1)   # one full wave over all pages
+total = time.monotonic() - t0
+m = state.metrics[0]
+print(json.dumps({{"cpus": cpus, "pages": m["due"],
+                  "wave_ms": m["wall_ms"], "total_s": round(total, 2)}}))
+"""
+
+
+def run_one(cpus: int, data_dir: str) -> dict:
+    script = WORKER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cpus), data_dir],
+        capture_output=True, text=True, timeout=1800)
+    for line in out.stdout.strip().splitlines()[::-1]:
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"worker failed: {out.stderr[-2000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--domains", type=int, default=250)
+    ap.add_argument("--sections", type=int, default=20)
+    ap.add_argument("--leaves", type=int, default=45)
+    ap.add_argument("--filler-kb", type=int, default=2)
+    ap.add_argument("--filler-anchors", type=int, default=50)
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from abot_spark.sources.synthetic_web import generate_web, write_parquet
+
+    fx = generate_web(n_domains=args.domains, sections=args.sections,
+                      leaves=args.leaves, zipf=False, with_fixtures=False,
+                      filler_kb=args.filler_kb,
+                      filler_anchors=args.filler_anchors)
+    data_dir = tempfile.mkdtemp(prefix="abot-scale-web-")
+    write_parquet(fx, data_dir)
+    n = len(fx.pages)
+    print(f"# corpus: {n} pages, filler {args.filler_kb} KB/page",
+          file=sys.stderr)
+
+    # the sandbox shares its host: CPU steal varies run to run, so
+    # interleave repetitions and take the best (least-stolen) per level
+    reps = int(os.environ.get("SCALE_REPS", "2"))
+    lows, highs = [], []
+    for _ in range(reps):
+        lows.append(run_one(args.low, data_dir))
+        highs.append(run_one(args.high, data_dir))
+    lo = min(lows, key=lambda r: r["wave_ms"])
+    hi = min(highs, key=lambda r: r["wave_ms"])
+    tput_lo = lo["pages"] / (lo["wave_ms"] / 1000)
+    tput_hi = hi["pages"] / (hi["wave_ms"] / 1000)
+    ratio = args.high / args.low
+    eff = tput_hi / (ratio * tput_lo)
+    print(json.dumps({
+        "corpus_pages": n,
+        "reps_wave_ms": {"low": [r["wave_ms"] for r in lows],
+                         "high": [r["wave_ms"] for r in highs]},
+        "low": {**lo, "pages_per_sec": round(tput_lo, 1)},
+        "high": {**hi, "pages_per_sec": round(tput_hi, 1)},
+        "speedup": round(tput_hi / tput_lo, 2),
+        "scaling_efficiency": round(eff, 3),
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()
