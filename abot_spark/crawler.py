@@ -380,10 +380,23 @@ class WaveCrawler:
                 deferred.withColumn("wave", F.lit(w + 1))
                 .select([f.name for f in FRONTIER_SCHEMA.fields]))
         # scheduling outputs belong to the wave they feed: frontier/seen/
-        # disallowed land under wave=w+1 (the seed pass owns wave=0)
-        self.store.write_wave("frontier", w + 1, next_frontier)
-        self.store.write_wave("seen", w + 1, sched["seen_add"])
-        self.store.write_wave("disallowed", w + 1, sched["disallowed"])
+        # disallowed land under wave=w+1 (the seed pass owns wave=0).
+        # materialize the shared decided-candidate cache once, then run the
+        # three independent appends as concurrent Spark jobs — they only
+        # read the cache, so pipelining them hides 2 job latencies
+        sched["cand_cache"].count()
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(self.store.write_wave, "frontier", w + 1,
+                            next_frontier),
+                pool.submit(self.store.write_wave, "seen", w + 1,
+                            sched["seen_add"]),
+                pool.submit(self.store.write_wave, "disallowed", w + 1,
+                            sched["disallowed"]),
+            ]
+            for f in futs:
+                f.result()
 
         _tick("frontier_seen_writes")
         # counter updates (A1/A2) — one aggregate for both counts

@@ -33,6 +33,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from urllib.parse import urlsplit
+
 from abot_spark.config import CrawlConfig
 from abot_spark.functions.link_extract import get_links
 from abot_spark.functions.robots import path_allowed
@@ -127,9 +129,16 @@ def links_col(cfg: CrawlConfig, text: Column, page_url: Column,
                 continue
             rows = []
             for link in get_links(text_v, url_v, cfg, xrt):
-                canon, dom, path = _url_parts(link)
-                if canon is not None:
-                    rows.append({"url": canon, "domain": dom, "path": path})
+                # get_links output is already canonical: one urlsplit
+                # recovers authority+path (host already lowercased,
+                # default port already stripped)
+                try:
+                    parts = urlsplit(link)
+                except ValueError:
+                    continue
+                netloc = parts.netloc.rsplit("@", 1)[-1]
+                rows.append({"url": link, "domain": netloc,
+                             "path": parts.path or "/"})
             out.append(rows)
         return pd.Series(out)
 

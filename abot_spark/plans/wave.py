@@ -623,4 +623,5 @@ def schedule_wave(
         "seen_add": seen_add,
         "disallowed": disallowed,
         "any_budget_denial": any_budget_denial,
+        "cand_cache": cand,
     }

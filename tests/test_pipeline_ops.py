@@ -1,0 +1,123 @@
+"""Training-data pipeline ops: invariants beyond the DuckDB oracle gate
+(which covers exact value parity — see tools/check_oracles.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from abot_spark.ops import dedup as D
+from abot_spark.ops import similarity as S
+from abot_spark.ops import textstats as T
+from abot_spark.ops.multimodal import extract_media_features, synth_media
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat", "en"),  # near dup
+        (3, "completely different content about spark engines", "en"),
+        (4, "", "en"),
+        (5, "der schnelle braune fuchs und der faule hund", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = {r["doc_id"]: r for r in D.exact_dedup(docs).collect()}
+    assert out[1]["canonical_doc_id"] == 0 and out[1]["is_duplicate"]
+    assert not out[0]["is_duplicate"]
+    assert not out[2]["is_duplicate"]  # near-dup is NOT an exact dup
+
+
+def test_minhash_matches_pure_python(spark, docs):
+    """The Spark signature must equal an independent pure-python minwise
+    hash over the same shingle set (portability invariant)."""
+    sig = {r["doc_id"]: r for r in
+           D.minhash_signatures(docs, k=4, shingle_n=3).collect()}
+
+    def py_sig(text, i):
+        norm = re.sub(r"\s+", " ",
+                      re.sub(r"[^a-z0-9 ]", "", text.lower())).strip()
+        toks = norm.split(" ")
+        grams = {" ".join(toks[j:j + 3])
+                 for j in range(max(len(toks) - 3, 0) + 1)}
+        return min(hashlib.md5(f"{i}:{g}".encode()).hexdigest()
+                   for g in grams)
+
+    for doc_id, text in [(0, "the quick brown fox jumps over the lazy dog"),
+                         (3, "completely different content about spark engines")]:
+        for i in range(4):
+            assert sig[doc_id][f"sig_{i}"] == py_sig(text, i)
+
+
+def test_minhash_pairs_find_near_dups(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             D.minhash_candidate_pairs(docs, k=8, bands=8).collect()}
+    assert (0, 1) in pairs          # identical docs always collide
+    assert (0, 3) not in pairs      # unrelated docs don't
+
+
+def test_simhash_near_dup_distance(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, 16).collect()}
+    assert sh[0] == sh[1]
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near <= ham_far
+
+
+def test_ngram_jaccard_values(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.1,
+                                   max_df=1.0).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.1 <= pairs[(0, 2)] < 1.0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import math
+    rows = []
+    for i in range(40):
+        base = [math.cos(i % 4 + d / 7.0) for d in range(8)]
+        rows.append((i, [float(x + (0.01 * (i // 4))) for x in base], i % 4))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_cosine_topk_prefers_same_label(spark, emb):
+    out = S.cosine_topk(emb, [0, 1], k=3).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    for r in out:
+        if r["rank"] == 1:
+            assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+
+
+def test_ivf_topk_subset_of_cluster(spark, emb):
+    clusters = {r["vec_id"]: r["cluster"] for r in
+                S.assign_clusters(emb, 4).collect()}
+    out = S.ivf_topk(emb, [0, 1], k=3, n_centroids=4).collect()
+    for r in out:
+        assert clusters[r["neighbor_id"]] == clusters[r["query_id"]]
+
+
+def test_textstats_columns(spark, docs):
+    q = {r["doc_id"]: r for r in T.quality_score(docs).collect()}
+    assert q[4]["n_tokens"] == 0 and q[4]["n_chars"] == 0
+    assert q[0]["n_tokens"] == 9
+    assert q[0]["stopword_ratio"] > 0
+    langid = {r["doc_id"]: r for r in T.lang_id(docs).collect()}
+    assert langid[0]["pred_lang"] == "en"
+    assert langid[5]["pred_lang"] == "de"
+
+
+def test_media_features_stub_paths(spark, docs):
+    feats = {r["doc_id"]: r for r in
+             extract_media_features(synth_media(docs)).collect()}
+    assert feats[0]["is_decodable"] and feats[0]["feature_mean"] is not None
+    assert not feats[1]["is_decodable"] and feats[1]["feature_mean"] is None
+    assert feats[0]["n_bytes"] > 8

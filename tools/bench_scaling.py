@@ -61,7 +61,7 @@ def run_one(cpus: int, data_dir: str) -> dict:
     script = WORKER.format(repo=REPO)
     out = subprocess.run(
         [sys.executable, "-c", script, str(cpus), data_dir],
-        capture_output=True, text=True, timeout=1800)
+        capture_output=True, text=True, timeout=3600)
     for line in out.stdout.strip().splitlines()[::-1]:
         if line.startswith("{"):
             return json.loads(line)
