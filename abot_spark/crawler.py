@@ -156,6 +156,9 @@ class WaveCrawler:
         state = self.store.latest_state()
         if state is None:
             raise RuntimeError("nothing to resume: no committed state")
+        # resuming is an explicit operator request to continue: clear a
+        # previously-honored graceful stop (hard stop stays terminal)
+        state.stop_requested = False
         self.store.drop_waves_after(state.wave)
         self._prepare(state)
         return self._loop(state, max_waves)  # _loop starts at state.wave + 1
@@ -264,7 +267,14 @@ class WaveCrawler:
         wall_start = time.monotonic()
         w = state.wave + 1
         while w < max_waves:
+            # A5 Stop (WebCrawler.cs:562-664): a STOP sentinel in the work
+            # dir requests a graceful stop at the next wave boundary —
+            # in-flight wave finishes, state commits, resume() continues
+            import os as _os
+            if _os.path.exists(_os.path.join(self.store.work_dir, "STOP")):
+                state.stop_requested = True
             if state.hard_stop_requested or state.stop_requested:
+                self.store.commit_state(state)
                 break
             if (cfg.crawl_timeout_seconds > 0
                     and time.monotonic() - wall_start > cfg.crawl_timeout_seconds):

@@ -147,3 +147,22 @@ def test_garbage_seed(spark, web):
     crawler = WaveCrawler(spark, BASE_CFG, wdir, web["pages"], web["robots"])
     state = crawler.crawl(["http://////"], max_waves=5)
     assert state.crawled_count == 0
+
+
+def test_stop_sentinel_and_resume(spark, web):
+    """A5 Stop: the STOP sentinel halts at the next wave boundary with
+    committed state; removing it and resuming completes the crawl."""
+    import os
+    wdir = tempfile.mkdtemp(prefix="abot-stop-")
+    c1 = WaveCrawler(spark, BASE_CFG, wdir, web["pages"], web["robots"])
+    open(os.path.join(wdir, "STOP"), "w").close()
+    st1 = c1.crawl([SEED], max_waves=30)
+    assert st1.stop_requested and st1.crawled_count == 0
+    os.remove(os.path.join(wdir, "STOP"))
+    c2 = WaveCrawler(spark, BASE_CFG, wdir, web["pages"], web["robots"])
+    c2._seed_auths = ("d0.example.com",)
+    st2 = c2.resume()
+    _, st3, rows = run_spark_crawl(spark, web, BASE_CFG)
+    resumed = [r["url"] for r in
+               c2.store.read_all("fetched", st2.wave).orderBy("seq").collect()]
+    assert resumed == [r["url"] for r in rows]
