@@ -166,3 +166,27 @@ def test_stop_sentinel_and_resume(spark, web):
     resumed = [r["url"] for r in
                c2.store.read_all("fetched", st2.wave).orderBy("seq").collect()]
     assert resumed == [r["url"] for r in rows]
+
+
+def test_max_links_per_page_parity(spark, web):
+    """T4: the per-page cap counts *scheduled* links and breaks the loop
+    (WebCrawler.cs:1138-1166); order parity vs the serial oracle."""
+    cfg = BASE_CFG.with_(max_links_per_page=2)
+    serial = SerialCrawler(web["fx"], cfg).crawl(SEED)
+    _, state, rows = run_spark_crawl(spark, web, cfg)
+    assert [r["url"] for r in rows] == serial.crawl_order
+
+
+def test_per_domain_robots_scale_mode(spark, web):
+    """Scale generalization: every domain's robots rules gate its own
+    URLs (the reference only loads the root's robots)."""
+    cfg = BASE_CFG.with_(is_external_page_crawling_enabled=True,
+                         is_external_page_links_crawling_enabled=True)
+    wdir = tempfile.mkdtemp(prefix="abot-pdrobots-")
+    crawler = WaveCrawler(spark, cfg, wdir, web["pages"], web["robots"])
+    crawler.per_domain_robots = True
+    state = crawler.crawl([SEED], max_waves=30)
+    urls = {r["url"] for r in
+            crawler.store.read_all("fetched", state.wave).collect()}
+    assert any(u.startswith("http://d1.example.com/") for u in urls)
+    assert not any("/private/" in u for u in urls)
