@@ -190,3 +190,17 @@ def test_per_domain_robots_scale_mode(spark, web):
             crawler.store.read_all("fetched", state.wave).collect()}
     assert any(u.startswith("http://d1.example.com/") for u in urls)
     assert not any("/private/" in u for u in urls)
+
+
+def test_manual_redirect_parity(spark, web):
+    """T6 manual-redirect op (auto-redirects disabled): 3xx rows spawn
+    same-depth children via the Location header (ProcessRedirect,
+    WebCrawler.cs:754-789); order parity vs the serial oracle."""
+    cfg = BASE_CFG.with_(is_http_request_auto_redirects_enabled=False)
+    serial = SerialCrawler(web["fx"], cfg).crawl(SEED)
+    _, state, rows = run_spark_crawl(spark, web, cfg)
+    assert [r["url"] for r in rows] == serial.crawl_order
+    # the whole chain is visited page-by-page in manual mode
+    for u in ("http://d0.example.com/redir/2", "http://d0.example.com/redir/1",
+              "http://d0.example.com/redir/0"):
+        assert u in serial.crawl_order
