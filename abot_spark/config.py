@@ -78,6 +78,9 @@ class CrawlConfig:
     domain_salt: int = 8              # salt factor for skewed-domain fetch
     bloom_expected_items: int = 10_000_000
     bloom_fpp: float = 0.01
+    use_seen_bloom: bool = True       # bloom sidecar prunes the seen-join
+    seen_bloom_min_rows: int = 50_000  # engage only once seen is this big
+                                       # (tiny parity crawls skip the UDF)
 
     def with_(self, **kw: Any) -> "CrawlConfig":
         return replace(self, **kw)

@@ -67,6 +67,7 @@ class WaveCrawler:
         self._corpus: DataFrame | None = None
         self._robots_rules: DataFrame | None = None
         self._robots_delay_ms: dict[str, int] = {}
+        self._seen_bloom = None      # live BloomFilter sidecar (see _prepare)
 
     # -- setup ---------------------------------------------------------------
 
@@ -75,6 +76,9 @@ class WaveCrawler:
         # ~GBs per python worker; cap so UDF transfer stays ~tens of MB.
         self.spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # seen-wave deltas come back via Arrow toPandas (bloom absorption)
+        self.spark.conf.set("spark.sql.execution.arrow.pyspark.enabled",
+                            "true")
         # The fetch join must broadcast the *frontier* side — shuffling the
         # html-bearing corpus is GBs per wave vs MBs of frontier rows.  (At
         # 10^10-URL scale with an Iceberg corpus this becomes a storage-
@@ -88,6 +92,27 @@ class WaveCrawler:
         self._corpus = W.prepare_corpus(
             self.pages.repartition(self._nparts, "url"),
             self.cfg).localCheckpoint()
+        # Bloom sidecar over the accumulated seen hashes (SURVEY.md §4):
+        # resumed crawls reload the persisted snapshot (or rebuild it from
+        # the seen table if the sidecar predates the feature / was lost)
+        self._seen_bloom = None
+        if self.cfg.use_seen_bloom:
+            from abot_spark.functions.sketches import BloomFilter
+            from abot_spark.functions.udfs import bloom_from_df
+
+            loaded = (self.store.load_bloom(state.wave + 1)
+                      if state.wave >= 0 else None)
+            if loaded is not None:
+                self._seen_bloom = loaded[0]
+            elif state.wave >= 0:
+                seen = self.store.read_all("seen", state.wave + 1)
+                if seen is not None:
+                    self._seen_bloom = bloom_from_df(
+                        seen, "url_hash", self.cfg.bloom_expected_items,
+                        self.cfg.bloom_fpp)
+            if self._seen_bloom is None:
+                self._seen_bloom = BloomFilter(
+                    self.cfg.bloom_expected_items, self.cfg.bloom_fpp)
         self._robots_rules = None
         self._robots_delay_ms = {}
         if (self.cfg.is_respect_robots_dot_text_enabled
@@ -163,6 +188,31 @@ class WaveCrawler:
         self._prepare(state)
         return self._loop(state, max_waves)  # _loop starts at state.wave + 1
 
+    # -- seen-set bloom sidecar ---------------------------------------------
+
+    def _bloom_arg(self):
+        """Broadcast the current filter snapshot for this wave's probe, or
+        None while the seen-set is small enough that the exact join alone
+        is cheaper than an extra UDF pass."""
+        if (self._seen_bloom is None
+                or self._seen_bloom.n_added < self.cfg.seen_bloom_min_rows):
+            return None
+        bc = self.spark.sparkContext.broadcast(self._seen_bloom.to_bytes())
+        return (bc, self.cfg.bloom_expected_items, self.cfg.bloom_fpp)
+
+    def _absorb_seen_wave(self, wave: int) -> None:
+        """Fold wave ``wave``'s seen appends into the live filter and
+        persist the snapshot (resume reads it back).  Wave deltas are
+        collected via Arrow (they are the *new* URLs of one wave, bounded
+        by budget x branching); full rebuilds go through the distributed
+        ``bloom_from_df`` path."""
+        if self._seen_bloom is None:
+            return
+        import numpy as np
+        pdf = self.store.read_wave("seen", wave).select("url_hash").toPandas()
+        self._seen_bloom.add_many(pdf["url_hash"].to_numpy(dtype=np.int64))
+        self.store.save_bloom(self._seen_bloom, wave)
+
     # -- seeding (S1: StartCrawlRootPage, WebCrawler.cs:480-495) -------------
 
     def _seed_frontier(self, seeds: list[str], state: CrawlState) -> None:
@@ -214,6 +264,7 @@ class WaveCrawler:
         self.store.write_wave("frontier", 0, frontier0.select(
             [f.name for f in FRONTIER_SCHEMA.fields]))
         self.store.write_wave("seen", 0, sched["seen_add"])
+        self._absorb_seen_wave(0)
         self.store.write_wave("disallowed", 0, sched["disallowed"])
         n = self.store.read_wave("frontier", 0).count()
         state.next_seq = n
@@ -379,6 +430,7 @@ class WaveCrawler:
             user_link_predicate=(
                 self.user_link_predicate() if callable(self.user_link_predicate)
                 else self.user_link_predicate),
+            seen_bloom=self._bloom_arg(),
         )
 
         _tick("schedule_build")
@@ -407,6 +459,7 @@ class WaveCrawler:
             ]
             for f in futs:
                 f.result()
+        self._absorb_seen_wave(w + 1)
 
         _tick("frontier_seen_writes")
         # counter updates (A1/A2) — one aggregate for both counts

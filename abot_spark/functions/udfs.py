@@ -145,6 +145,74 @@ def links_col(cfg: CrawlConfig, text: Column, page_url: Column,
     return _links(text, page_url, x_robots_tag)
 
 
+def bloom_maybe_col(bloom_bc, expected_items: int, fpp: float,
+                    hash_col: Column) -> Column:
+    """``url_hash -> boolean`` — seen-set Bloom sidecar probe (T5/T8 fast
+    path; SURVEY.md §4 "Seen-set at 10^10").
+
+    ``bloom_bc`` is a SparkContext broadcast of the filter's bit array
+    (:meth:`abot_spark.functions.sketches.BloomFilter.to_bytes`).  False
+    means *definitely not seen* — those candidates skip the exact seen-join
+    entirely; True rows continue to the exact join, so bloom false
+    positives never mis-mark a URL (the no-false-negatives contract of
+    ``CrawledUrlRepositoryTest.cs:60-89`` is preserved end-to-end).
+
+    The deserialized filter is cached per (executor, broadcast-id): each
+    wave broadcasts a fresh immutable snapshot, so the id is the identity.
+    """
+    import uuid
+
+    import numpy as np
+
+    key = uuid.uuid4().hex   # driver-side snapshot token, shipped by value
+
+    @F.pandas_udf(BooleanType())
+    def _maybe(h: pd.Series) -> pd.Series:
+        from abot_spark.functions import sketches
+
+        cache = getattr(sketches, "_BLOOM_UDF_CACHE", None)
+        if cache is None:
+            cache = sketches._BLOOM_UDF_CACHE = {}
+        bf = cache.get(key)
+        if bf is None:
+            cache.clear()      # hold at most one wave's filter per worker
+            bf = sketches.BloomFilter.from_bytes(
+                bytes(bloom_bc.value), expected_items, fpp)
+            cache[key] = bf
+        return pd.Series(bf.contains_many(h.to_numpy(dtype=np.int64)))
+
+    return _maybe(hash_col)
+
+
+def bloom_from_df(df, hash_col: str, expected_items: int, fpp: float):
+    """Distributed Bloom build: per-partition partial bit arrays
+    (``mapInPandas``) OR-merged on the driver.  The collect moves
+    ``num_partitions × m/8`` bytes — at 10^10-key scale the sidecars are
+    per-``bucket(url_hash)`` (each sized for one bucket's keys) and this
+    build runs per bucket; the merge logic is identical."""
+    import numpy as np
+
+    from abot_spark.functions.sketches import BloomFilter
+
+    def _partial(batches):
+        bf = BloomFilter(expected_items, fpp)
+        n = 0
+        for pdf in batches:
+            arr = pdf[hash_col].to_numpy(dtype=np.int64)
+            bf.add_many(arr)
+            n += len(arr)
+        if n:
+            yield pd.DataFrame({"bits": [bf.to_bytes()], "n": [n]})
+
+    parts = df.select(hash_col).mapInPandas(_partial, "bits binary, n long") \
+        .collect()
+    merged = BloomFilter(expected_items, fpp)
+    for r in parts:
+        merged.merge_bytes(bytes(r["bits"]))
+        merged.n_added += r["n"]
+    return merged
+
+
 def robots_allowed_col(path: Column, allow_rules: Column,
                        disallow_rules: Column) -> Column:
     """``(path, allow_rules, disallow_rules) -> boolean`` — F6 verdict.

@@ -377,6 +377,7 @@ def schedule_wave(
     wave_ts_ms: int,
     num_partitions: int = 32,
     user_link_predicate=None,
+    seen_bloom: tuple | None = None,   # (broadcast bits, expected_items, fpp)
 ) -> dict:
     """``SchedulePageLinks`` (``WebCrawler.cs:1109-1155``) + the decision
     pipeline as one declarative plan.  Returns dict with:
@@ -399,11 +400,32 @@ def schedule_wave(
     if seen is not None:
         seen_keys = seen.select("url_hash").distinct() \
             .withColumn("_known", F.lit(True))
-        cand = cand.join(seen_keys, "url_hash", "left") \
-            .withColumn("is_known", F.coalesce("_known", F.lit(False))) \
+        if seen_bloom is not None:
+            # Bloom sidecar fast path (SURVEY.md §4): candidates the filter
+            # rules out are *definitely new* and skip the exact join; only
+            # the "maybe seen" sliver (true hits + fpp of the new ones)
+            # shuffles against the accumulated seen table.  Exact: a bloom
+            # false positive just rides through the join and comes back
+            # is_known=False.
+            from abot_spark.functions.udfs import bloom_maybe_col
+
+            bc, n_exp, fpp = seen_bloom
+            cand = cand.withColumn(
+                "_maybe", bloom_maybe_col(bc, n_exp, fpp, F.col("url_hash")))
+            maybe_part = cand.filter(F.col("_maybe")) \
+                .join(seen_keys, "url_hash", "left")
+            fresh_part = cand.filter(~F.col("_maybe")) \
+                .withColumn("_known", F.lit(None).cast("boolean"))
+            cand = maybe_part.unionByName(fresh_part).drop("_maybe")
+        else:
+            cand = cand.join(seen_keys, "url_hash", "left")
+        cand = cand.withColumn("is_known", F.coalesce("_known", F.lit(False))) \
             .drop("_known")
     else:
         cand = cand.withColumn("is_known", F.lit(False))
+    # pristine membership (pre-recrawl-adjustment) — reused by seen_add so
+    # the accumulated seen table is scanned exactly once per wave
+    cand = cand.withColumn("_in_seen", F.col("is_known"))
     if cfg.is_uri_recrawling_enabled:
         # AllowUriRecrawling bypasses AddIfNew on Scheduler.Add
         # (Scheduler.cs:78-86) — it affects direct Add paths (redirect
@@ -581,12 +603,10 @@ def schedule_wave(
     # redirect children (Scheduler.Add path; denied redirect children are
     # NOT marked — ProcessRedirect has no AddKnownUri loop)
     seen_add = cand.filter(
-        ((F.col("kind") == 1) & F.col("iterated"))
-        | ((F.col("kind") == 0) & F.col("admitted"))
+        (((F.col("kind") == 1) & F.col("iterated"))
+         | ((F.col("kind") == 0) & F.col("admitted")))
+        & ~F.col("_in_seen")   # membership already exact -> no re-anti-join
     ).select("url_hash", "url").distinct()
-    if seen is not None:
-        seen_add = seen_add.join(seen.select("url_hash").distinct(),
-                                 "url_hash", "left_anti")
 
     disallowed = cand.filter(
         F.col("iterated") & ~F.col("is_known") & ~F.col("dup_skipped")

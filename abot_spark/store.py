@@ -32,6 +32,7 @@ import shutil
 from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -82,6 +83,44 @@ class CrawlStore:
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
+
+    # -- bloom sidecar (SURVEY.md §4 "Seen-set at 10^10") --------------------
+    #
+    # One bit-array snapshot per wave next to the seen appends; the crawler
+    # keeps the live filter in memory and these files make it resumable.
+    # On an Iceberg deployment this becomes one sidecar per seen bucket
+    # (puffin-style blob keyed by snapshot id); the wave loop is unchanged.
+
+    def bloom_path(self, wave: int) -> str:
+        return os.path.join(self.work_dir, "seen_bloom", f"wave={wave}.bin")
+
+    def save_bloom(self, bf, wave: int) -> None:
+        path = self.bloom_path(wave)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path + ".tmp", "wb") as f:
+            f.write(bf.to_bytes())
+        meta = {"expected_items": bf.expected_items, "fpp": bf.fpp,
+                "n_added": bf.n_added}
+        with open(path + ".meta.tmp", "w") as f:
+            json.dump(meta, f)
+        os.replace(path + ".meta.tmp", path + ".meta")
+        os.replace(path + ".tmp", path)
+
+    def load_bloom(self, through_wave: int):
+        """Newest persisted filter at wave <= through_wave, or None."""
+        from abot_spark.functions.sketches import BloomFilter
+
+        for w in range(through_wave, -1, -1):
+            path = self.bloom_path(w)
+            if os.path.exists(path) and os.path.exists(path + ".meta"):
+                with open(path + ".meta") as f:
+                    meta = json.load(f)
+                with open(path, "rb") as f:
+                    bf = BloomFilter.from_bytes(
+                        f.read(), meta["expected_items"], meta["fpp"])
+                bf.n_added = meta["n_added"]
+                return bf, w
+        return None
 
     # -- manifests ----------------------------------------------------------
 
@@ -136,6 +175,141 @@ class CrawlStore:
                         continue
                     if w > keep_through:
                         shutil.rmtree(os.path.join(tdir, name))
+        bdir = os.path.join(self.work_dir, "seen_bloom")
+        if os.path.isdir(bdir):
+            for name in os.listdir(bdir):
+                stem = name.split("=", 1)[-1].split(".", 1)[0]
+                try:
+                    w = int(stem)
+                except ValueError:
+                    continue
+                # bloom rides with `seen` (written during wave w-1 -> keep
+                # through wave+1), tmps always dropped
+                if w > wave + 1 or name.endswith(".tmp"):
+                    os.remove(os.path.join(bdir, name))
         for name in list(os.listdir(self.work_dir)):
             if name.startswith("state_") and name.endswith(".json.tmp"):
                 os.remove(os.path.join(self.work_dir, name))
+
+
+def _cuckoo_path(base_dir: str, bucket: int) -> str:
+    return os.path.join(base_dir, f"bucket={bucket}.bin")
+
+
+def _cuckoo_load(base_dir: str, bucket: int, capacity: int):
+    from abot_spark.functions.sketches import CuckooFilter
+
+    path = _cuckoo_path(base_dir, bucket)
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return CuckooFilter.from_bytes(f.read(), capacity)
+    return CuckooFilter(capacity)
+
+
+def _cuckoo_save(base_dir: str, bucket: int, cf) -> None:
+    path = _cuckoo_path(base_dir, bucket)
+    with open(path + ".tmp", "wb") as f:
+        f.write(cf.to_bytes())
+    os.replace(path + ".tmp", path)
+
+
+class CuckooSeenSidecars:
+    """Per-bucket cuckoo-filter sidecars for the bucketed seen table.
+
+    The scale layout (SURVEY.md §4 "Seen-set at 10^10"): ``seen`` is
+    hash-bucketed by ``pmod(url_hash, B)``; each bucket keeps a cuckoo
+    filter sized for its share of keys.  Unlike the global Bloom sidecar
+    (one broadcastable array), cuckoo filters support **deletion**
+    (fingerprint displacement, Fan et al. CoNEXT'14) — required when seen
+    marks are retracted under ``AllowUriRecrawling``
+    (``Scheduler.cs:78-86``) — and stay small enough per bucket
+    (keys/B x 2 bytes) to be loaded bucket-locally by the probing task
+    instead of broadcast.
+
+    All operations are ``applyInPandas`` over ``groupBy(bucket)`` — the
+    same co-location a storage-partitioned Iceberg join would give, so the
+    probe never shuffles the seen table itself, only the (small) probe
+    side.  Files live on shared storage (here: the local work dir; on a
+    cluster: the object store next to the table), written atomically.
+
+    Membership contract: no false negatives while a bucket is under
+    capacity (overflow drops are surfaced in ``rebuild``'s return and the
+    exact seen table remains the source of truth).
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str,
+                 n_buckets: int = 64, capacity_per_bucket: int = 100_000):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.n_buckets = n_buckets
+        self.capacity = capacity_per_bucket
+        os.makedirs(base_dir, exist_ok=True)
+
+
+    def _bucketed(self, df: DataFrame, hash_col: str) -> DataFrame:
+        return df.withColumn(
+            "_bucket", F.pmod(F.col(hash_col), F.lit(self.n_buckets))
+            .cast("int"))
+
+
+    def _apply(self, df: DataFrame, hash_col: str, op: str) -> dict[int, int]:
+        """Distributed per-bucket update; returns {bucket: dropped} where
+        ``dropped`` counts keys a full bucket could not absorb (add only).
+        Closures capture only plain values — never ``self`` (it holds the
+        unpicklable SparkSession)."""
+        import numpy as np
+        import pandas as pd
+
+        base_dir, capacity = self.base_dir, self.capacity
+
+        def update(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+            b = int(key[0])
+            cf = _cuckoo_load(base_dir, b, capacity)
+            arr = pdf[hash_col].to_numpy(dtype=np.int64)
+            if op == "add":
+                ok = cf.add_many(arr)
+                dropped = len(arr) - ok
+            else:
+                cf.delete_many(arr)
+                dropped = 0
+            _cuckoo_save(base_dir, b, cf)
+            return pd.DataFrame({"bucket": [b], "dropped": [dropped]})
+
+        rows = self._bucketed(df, hash_col).groupBy("_bucket") \
+            .applyInPandas(update, "bucket int, dropped long").collect()
+        return {r["bucket"]: r["dropped"] for r in rows}
+
+    def add(self, df: DataFrame, hash_col: str = "url_hash") -> int:
+        """Insert hashes; returns total overflow-dropped (0 when buckets
+        are sized right)."""
+        return sum(self._apply(df, hash_col, "add").values())
+
+    def delete(self, df: DataFrame, hash_col: str = "url_hash") -> None:
+        """Retract seen marks (AllowUriRecrawling mode)."""
+        self._apply(df, hash_col, "delete")
+
+    def rebuild(self, seen_df: DataFrame, hash_col: str = "url_hash") -> int:
+        shutil.rmtree(self.base_dir, ignore_errors=True)
+        os.makedirs(self.base_dir, exist_ok=True)
+        return self.add(seen_df, hash_col)
+
+    def probe(self, df: DataFrame, hash_col: str = "url_hash",
+              out_col: str = "maybe_seen") -> DataFrame:
+        """Append ``out_col: boolean`` — bucket-local membership probe.
+        False = definitely not seen; True rows confirm against the exact
+        table (same contract as the Bloom path in ``plans/wave.py``)."""
+        import numpy as np
+        import pandas as pd
+
+        base_dir, capacity = self.base_dir, self.capacity
+        out_schema = df.schema.add(out_col, "boolean")
+
+        def probe_group(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+            cf = _cuckoo_load(base_dir, int(key[0]), capacity)
+            res = pdf.drop(columns=["_bucket"])
+            res[out_col] = cf.contains_many(
+                pdf[hash_col].to_numpy(dtype=np.int64))
+            return res
+
+        return self._bucketed(df, hash_col).groupBy("_bucket") \
+            .applyInPandas(probe_group, out_schema)
