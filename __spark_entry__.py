@@ -229,6 +229,42 @@ def q_crawl_retry_backoff(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_crawl_redirect_resolve(spark, sf_dir):
+    """T6 auto-redirect chain resolution (``prepare_corpus`` shape,
+    ``WebCrawler.cs:1300-1323`` / ``PageRequester`` AllowAutoRedirect): a
+    bounded loop of self-joins follows Location chains to the landing
+    page.  Chain structure is derived deterministically from doc_id
+    (redirect unless doc_id%5==0, target doc_id+1), so the DuckDB oracle
+    can state the closed-form fixpoint the iterative join must reach —
+    including dangling targets past the last doc (404/WebException in the
+    engine)."""
+    u = _urls(spark, sf_dir).select("doc_id", "url")
+    base = u.withColumn("is_redirect", F.col("doc_id") % 5 != 0)
+    tgt = base.select(F.col("doc_id").alias("t_id"),
+                      F.col("is_redirect").alias("t_redirect"))
+    cur = base.select(
+        "url", F.col("doc_id").alias("cur_id"),
+        F.col("is_redirect").alias("cur_redirect"),
+        F.lit(0).alias("hops"), F.lit(False).alias("dangling"))
+    for _ in range(CFG.http_request_max_auto_redirects):
+        pending = cur.filter(F.col("cur_redirect") & ~F.col("dangling"))
+        done = cur.filter(~F.col("cur_redirect") | F.col("dangling"))
+        stepped = pending.join(
+            tgt, pending["cur_id"] + 1 == tgt["t_id"], "left"
+        ).select(
+            "url",
+            F.coalesce(F.col("t_id"), F.col("cur_id")).alias("cur_id"),
+            F.coalesce("t_redirect", F.lit(False)).alias("cur_redirect"),
+            (F.col("hops") + 1).alias("hops"),
+            F.col("t_id").isNull().alias("dangling"),
+        )
+        cur = done.unionByName(stepped)
+    return cur.select(
+        "url", F.col("cur_id").alias("final_doc_id"),
+        F.col("hops").cast("int").alias("hops"), "dangling",
+    ).orderBy("url")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries
 # ---------------------------------------------------------------------------
@@ -358,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_fifo_order": q_crawl_fifo_order,
         "crawl_politeness_quota": q_crawl_politeness_quota,
         "crawl_retry_backoff": q_crawl_retry_backoff,
+        "crawl_redirect_resolve": q_crawl_redirect_resolve,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_bands": q_dedup_minhash_bands,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -516,6 +553,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ceil(greatest(retry_after_s * 1000, 2000) / 60000.0)
                      AS BIGINT) AS eligible_wave
             FROM u WHERE status_code >= 400 ORDER BY url""",
+        "crawl_redirect_resolve": f"""
+            WITH u AS ({_URLS_SQL}),
+            m AS (SELECT max(doc_id) AS mx FROM documents),
+            k AS (SELECT doc_id, url,
+                         CASE WHEN doc_id % 5 = 0 THEN 0
+                              ELSE 5 - CAST(doc_id % 5 AS INT) END AS steps
+                  FROM u)
+            SELECT url,
+                   CASE WHEN steps = 0 THEN doc_id
+                        WHEN doc_id + steps <= mx THEN doc_id + steps
+                        ELSE mx END AS final_doc_id,
+                   CAST(CASE WHEN doc_id + steps <= mx THEN steps
+                             ELSE mx - doc_id + 1 END AS INT) AS hops,
+                   doc_id + steps > mx AS dangling
+            FROM k, m ORDER BY url""",
         "dedup_exact": f"""
             WITH d AS (SELECT doc_id, md5({_NORM_SQL}) AS digest
                        FROM documents)

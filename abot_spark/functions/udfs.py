@@ -33,10 +33,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from urllib.parse import urlsplit
-
 from abot_spark.config import CrawlConfig
 from abot_spark.functions.link_extract import get_links
+from abot_spark.urls import split_authority_path
 from abot_spark.functions.robots import path_allowed
 from abot_spark.functions.text_extract import extract_text
 
@@ -129,16 +128,11 @@ def links_col(cfg: CrawlConfig, text: Column, page_url: Column,
                 continue
             rows = []
             for link in get_links(text_v, url_v, cfg, xrt):
-                # get_links output is already canonical: one urlsplit
+                # get_links output is already canonical: one cached split
                 # recovers authority+path (host already lowercased,
                 # default port already stripped)
-                try:
-                    parts = urlsplit(link)
-                except ValueError:
-                    continue
-                netloc = parts.netloc.rsplit("@", 1)[-1]
-                rows.append({"url": link, "domain": netloc,
-                             "path": parts.path or "/"})
+                netloc, path = split_authority_path(link)
+                rows.append({"url": link, "domain": netloc, "path": path})
             out.append(rows)
         return pd.Series(out)
 

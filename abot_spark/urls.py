@@ -26,6 +26,7 @@ The canonical form produced by :func:`canonicalize` is the seen-set key
 
 from __future__ import annotations
 
+from functools import lru_cache
 from urllib.parse import urljoin, urlsplit, urlunsplit
 
 _DEFAULT_PORTS = {"http": 80, "https": 443}
@@ -55,8 +56,13 @@ def remove_dot_segments(path: str) -> str:
     return "/".join(output)
 
 
+@lru_cache(maxsize=1 << 16)
 def canonicalize(url: str) -> str | None:
     """Normalize an absolute URL the way .NET ``Uri.AbsoluteUri`` does.
+
+    Memoized per process: web pages repeat boilerplate links (nav, footer)
+    heavily, and executor python workers keep their cache across Arrow
+    batches.  Pure function of its argument, so caching is transparent.
 
     Returns ``None`` when the URL is invalid by .NET rules (http(s) URL
     with an empty host, unparseable input, or no scheme).
@@ -80,28 +86,53 @@ def canonicalize(url: str) -> str | None:
         if parts.scheme == scheme:
             return url
         return urlunsplit((scheme, parts.netloc, parts.path, parts.query, parts.fragment))
-    host = (parts.hostname or "").lower()
-    if not host:
+    # one manual netloc parse instead of four lazy SplitResult property
+    # derivations (hostname/port/username/password each rescan netloc);
+    # same validation rules as SplitResult.port (digits, <= 65535)
+    raw = parts.netloc
+    if "@" in raw:
+        userinfo, _, hostport = raw.rpartition("@")
+    else:
+        userinfo, hostport = "", raw
+    if hostport.startswith("["):           # IPv6 literal
+        end = hostport.find("]")
+        if end < 0:
+            return None
+        host = hostport[:end + 1].lower()
+        rest = hostport[end + 1:]
+        if rest and not rest.startswith(":"):
+            return None
+        port_s = rest[1:]
+    else:
+        host, _, port_s = hostport.partition(":")
+        host = host.lower()
+    if not host or host == "[]":
         return None  # e.g. "http://////"
-    try:
-        port = parts.port
-    except ValueError:
-        return None
+    port = None
+    if port_s:
+        if not port_s.isdigit():
+            return None
+        port = int(port_s)
+        if port > 65535:
+            return None
     netloc = host
-    if parts.username:
-        userinfo = parts.username + (":" + parts.password if parts.password else "")
-        netloc = userinfo + "@" + netloc
+    user, _, password = userinfo.partition(":")
+    if user:   # empty password drops its ":" (matches SplitResult.password)
+        netloc = user + (":" + password if password else "") + "@" + netloc
     if port is not None and port != _DEFAULT_PORTS[scheme]:
         netloc += f":{port}"
     path = remove_dot_segments(parts.path) or "/"
     return urlunsplit((scheme, netloc, path, parts.query, parts.fragment))
 
 
+@lru_cache(maxsize=1 << 16)
 def absolutize(base_url: str, href: str, respect_fragment: bool = False) -> str | None:
     """``new Uri(uriToUse, href).AbsoluteUri`` (HyperLinkParser.cs:186-209).
 
     Returns the canonical absolute URL, or ``None`` when the href cannot
-    form a valid URI (dropped silently by the reference).
+    form a valid URI (dropped silently by the reference).  Memoized like
+    :func:`canonicalize` — the (base_url, href) pair repeats for every
+    boilerplate link shared across a site's pages.
     """
     if href is None:
         return None
@@ -119,11 +150,39 @@ def absolutize(base_url: str, href: str, respect_fragment: bool = False) -> str 
         # absolute href: .NET validates it standalone — ``http://////``
         # throws rather than being repaired against the base
         return canonicalize(href)
+    if href.startswith("/") and not href.startswith("//"):
+        # path-absolute fast path (the dominant case in link batches):
+        # RFC 3986 §5.3 merge is just scheme://authority + href; dot
+        # segments are normalized by canonicalize anyway, so this equals
+        # urljoin without re-parsing the base for every href
+        base = _split_cached(base_url)
+        if base is not None and base.scheme.lower() in _DEFAULT_PORTS:
+            return canonicalize(f"{base.scheme}://{base.netloc}{href}")
     try:
         joined = urljoin(base_url, href)
     except ValueError:
         return None
     return canonicalize(joined)
+
+
+@lru_cache(maxsize=4096)
+def _split_cached(url: str):
+    try:
+        return urlsplit(url)
+    except ValueError:
+        return None
+
+
+@lru_cache(maxsize=1 << 16)
+def split_authority_path(url: str) -> tuple[str, str]:
+    """(netloc-sans-userinfo, path) of an already-canonical URL — one cached
+    split instead of a re-parse per consumer (the link UDF emits these
+    alongside every extracted URL)."""
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return "", "/"
+    return parts.netloc.rsplit("@", 1)[-1], parts.path or "/"
 
 
 def resolve_base_href(page_url: str, base_href: str | None) -> str:
