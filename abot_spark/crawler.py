@@ -87,11 +87,12 @@ class WaveCrawler:
                             str(256 * 1024 * 1024))
         # The broadcast fetch join makes every downstream stage — extract
         # UDF, link UDF, explode — inherit the CORPUS partitioning.
-        # Repartition it once to full parallelism or the whole wave runs at
-        # the parquet reader's partition count.
-        self._corpus = W.prepare_corpus(
-            self.pages.repartition(self._nparts, "url"),
-            self.cfg).localCheckpoint()
+        # Repartition AFTER redirect resolution: prepare_corpus stacks one
+        # union per redirect hop, so repartitioning its *input* would leave
+        # the checkpoint (and with it every wave stage) at hops x nparts
+        # partitions.
+        self._corpus = W.prepare_corpus(self.pages, self.cfg) \
+            .repartition(self._nparts, "url").localCheckpoint()
         # Bloom sidecar over the accumulated seen hashes (SURVEY.md §4):
         # resumed crawls reload the persisted snapshot (or rebuild it from
         # the seen table if the sidecar predates the feature / was lost)
@@ -160,8 +161,16 @@ class WaveCrawler:
         state.root_authority = authority(seeds[0]) if seeds else ""
         state.original_root_authority = state.root_authority
         self._seed_auths = tuple({authority(s) for s in seeds})
+        import os as _os
+        _timing = _os.environ.get("ABOT_WAVE_TIMING")
+        t0 = time.monotonic()
         self._prepare(state)
+        t1 = time.monotonic()
         self._seed_frontier(seeds, state)
+        t2 = time.monotonic()
+        if _timing:
+            print(f"WAVETIME prepare={t1-t0:.2f}s seed={t2-t1:.2f}s",
+                  flush=True)
         self.store.commit_state(state)
         return self._loop(state, max_waves)
 
@@ -200,16 +209,20 @@ class WaveCrawler:
         bc = self.spark.sparkContext.broadcast(self._seen_bloom.to_bytes())
         return (bc, self.cfg.bloom_expected_items, self.cfg.bloom_fpp)
 
-    def _absorb_seen_wave(self, wave: int) -> None:
+    def _absorb_seen_wave(self, wave: int, seen_add: DataFrame | None = None
+                          ) -> None:
         """Fold wave ``wave``'s seen appends into the live filter and
         persist the snapshot (resume reads it back).  Wave deltas are
         collected via Arrow (they are the *new* URLs of one wave, bounded
         by budget x branching); full rebuilds go through the distributed
-        ``bloom_from_df`` path."""
+        ``bloom_from_df`` path.  Pass ``seen_add`` (the cached wave delta)
+        to read off the cache instead of re-reading the parquet append."""
         if self._seen_bloom is None:
             return
         import numpy as np
-        pdf = self.store.read_wave("seen", wave).select("url_hash").toPandas()
+        src = (seen_add if seen_add is not None
+               else self.store.read_wave("seen", wave))
+        pdf = src.select("url_hash").toPandas()
         self._seen_bloom.add_many(pdf["url_hash"].to_numpy(dtype=np.int64))
         self.store.save_bloom(self._seen_bloom, wave)
 
@@ -261,16 +274,32 @@ class WaveCrawler:
         )
         frontier0 = sched["admitted"].withColumn("is_root", F.lit(True)) \
             .withColumn("wave", F.lit(0))
-        self.store.write_wave("frontier", 0, frontier0.select(
-            [f.name for f in FRONTIER_SCHEMA.fields]))
-        self.store.write_wave("seen", 0, sched["seen_add"])
-        self._absorb_seen_wave(0)
-        self.store.write_wave("disallowed", 0, sched["disallowed"])
-        n = self.store.read_wave("frontier", 0).count()
+        # one cache-materializing aggregate: admitted count (= frontier 0
+        # rows; no retries/deferrals exist at seed time) + A3 latch probe
+        crow = sched["cand_cache"].agg(
+            F.sum(F.col("admitted").cast("int")).alias("n"),
+            F.max(F.col("budget_denied").cast("int")).alias("bd")).first()
+        n = int(crow["n"] or 0)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [
+                pool.submit(self.store.write_wave, "frontier", 0,
+                            frontier0.select(
+                                [f.name for f in FRONTIER_SCHEMA.fields])
+                            .coalesce(2)),
+                pool.submit(self.store.write_wave, "seen", 0,
+                            sched["seen_add"].coalesce(2)),
+                pool.submit(self.store.write_wave, "disallowed", 0,
+                            sched["disallowed"].coalesce(2)),
+                pool.submit(self._absorb_seen_wave, 0, sched["seen_add"]),
+            ]
+            for f in futs:
+                f.result()
         state.next_seq = n
         state.budget_used = n
-        state.latched = sched["any_budget_denial"]
+        state.latched = bool(crow["bd"])
         state.wave = -1  # the loop starts at wave 0
+        state.frontier_next = n
 
     def _sitemap_items(self, seeds: list[str], state: CrawlState) -> list[str]:
         """S2 (GoogleWebCrawler.cs:123-136, 159-190): robots ``Sitemap:``
@@ -331,11 +360,16 @@ class WaveCrawler:
                     and time.monotonic() - wall_start > cfg.crawl_timeout_seconds):
                 state.hard_stop_requested = True
                 break
+            # the previous wave already counted this frontier — only fall
+            # back to an emptiness probe when the hint is unknown (pre-hint
+            # state files)
+            if state.frontier_next == 0:
+                break
             try:
                 frontier = self.store.read_wave("frontier", w)
             except Exception:
                 break  # no frontier written -> crawl complete
-            if frontier.isEmpty():
+            if state.frontier_next < 0 and frontier.isEmpty():
                 break
             state.wave = w
             self._run_wave(frontier, state)
@@ -361,8 +395,16 @@ class WaveCrawler:
 
         # C3 politeness: per-domain quota for this wave + simulated pacing
         delays = self._effective_delays()
-        due, deferred, wave_elapsed_ms = self._politeness_split(
+        due, deferred, stats_df = self._politeness_split(
             frontier, delays, wave_ts)
+        stats = {r["_due"]: r for r in stats_df.collect()}
+        d_row = stats.get(True)
+        n_processed = (d_row["n"] - (d_row["n_retry"] or 0)) if d_row else 0
+        n_retried = (d_row["n_retry"] or 0) if d_row else 0
+        wave_elapsed_ms = int(d_row["elapsed_ms"] or 0) if d_row else 0
+        n_deferred = stats[False]["n"] if False in stats else 0
+        if n_deferred == 0:
+            deferred = None
 
         _tick("politeness")
         fetched = W.fetch_wave(due, self._corpus)
@@ -386,14 +428,14 @@ class WaveCrawler:
             [F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("text_sha"),
              F.length("text").alias("text_len")]
         )
-        self.store.write_wave("fetched", w, completed.select(
+        fetched_out = completed.select(
             "url", "seq", "depth", "parent_url", "status_code", "charset",
             *text_cols, "domain", "is_retry", "retry_count", "response_url",
             "links_reason", "task_partition_id",
             F.lit(w).alias("wave"), F.lit(wave_ts).alias("wave_ts_ms"),
-        ))
+        )  # written in the end-of-wave concurrent pool
 
-        _tick("fetched_audit_write")
+        _tick("fetched_audit_build")
         # candidate generation: links (T1/T3) + redirect children (T6)
         candidates = W.explode_links(extracted, cfg)
         if not cfg.is_http_request_auto_redirects_enabled:
@@ -405,8 +447,9 @@ class WaveCrawler:
         _tick("links_explode_ckpt")
         retries = None
         if cfg.max_retry_count > 0:
-            retries = W.retry_candidates(extracted, cfg, wave_ts) \
-                .localCheckpoint()
+            # cheap projection off the extracted checkpoint — no UDF rerun,
+            # so no checkpoint of its own needed
+            retries = W.retry_candidates(extracted, cfg, wave_ts)
 
         events = extracted.select("seq", "domain", "is_retry")
         seen = self.store.read_all("seen", w)
@@ -443,43 +486,54 @@ class WaveCrawler:
                 .select([f.name for f in FRONTIER_SCHEMA.fields]))
         # scheduling outputs belong to the wave they feed: frontier/seen/
         # disallowed land under wave=w+1 (the seed pass owns wave=0).
-        # materialize the shared decided-candidate cache once, then run the
-        # three independent appends as concurrent Spark jobs — they only
-        # read the cache, so pipelining them hides 2 job latencies
-        sched["cand_cache"].count()
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            futs = [
-                pool.submit(self.store.write_wave, "frontier", w + 1,
-                            next_frontier),
-                pool.submit(self.store.write_wave, "seen", w + 1,
-                            sched["seen_add"]),
-                pool.submit(self.store.write_wave, "disallowed", w + 1,
-                            sched["disallowed"]),
-            ]
-            for f in futs:
-                f.result()
-        self._absorb_seen_wave(w + 1)
-
-        _tick("frontier_seen_writes")
-        # counter updates (A1/A2) — one aggregate for both counts
-        by_kind = {r["is_retry"]: r["n"] for r in due.groupBy("is_retry")
-                   .agg(F.count(F.lit(1)).alias("n")).collect()}
-        n_processed = by_kind.get(False, 0)
-        n_retried = by_kind.get(True, 0)
+        # materialize the shared decided-candidate cache once (the same agg
+        # reads off the A3 budget-denial latch probe), then run the three
+        # independent appends as concurrent Spark jobs — they only read the
+        # cache, so pipelining them hides 2 job latencies
+        crow = sched["cand_cache"].agg(
+            F.max(F.col("budget_denied").cast("int")).alias("bd")).first()
+        any_budget_denial = bool(crow["bd"])
+        # small waves (all of them while a crawl ramps up) write few rows:
+        # merge the output partitions so later read_all unions stay at a
+        # sane file count.  n_processed is this wave's volume; candidates
+        # are bounded by volume x branching.
+        out_parts = self._nparts if n_processed + n_retried >= 2000 else 2
+        next_frontier = next_frontier.coalesce(out_parts)
+        seen_out = sched["seen_add"].coalesce(out_parts)
+        dis_out = sched["disallowed"].coalesce(out_parts)
+        # counter updates (A1/A2); processed/retried totals came from the
+        # politeness stats aggregate
         wave_counts = due.filter(~F.col("is_retry")).groupBy("domain") \
             .agg(F.count(F.lit(1)).alias("cnt"))
         if prior_counts is not None:
             wave_counts = wave_counts.unionByName(prior_counts) \
                 .groupBy("domain").agg(F.sum("cnt").alias("cnt"))
-        self.store.write_wave(
-            "counts", w, wave_counts.withColumn("wave", F.lit(w)))
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            futs = [
+                pool.submit(self.store.write_wave, "frontier", w + 1,
+                            next_frontier),
+                pool.submit(self.store.write_wave, "seen", w + 1, seen_out),
+                pool.submit(self.store.write_wave, "disallowed", w + 1,
+                            dis_out),
+                pool.submit(self._absorb_seen_wave, w + 1, sched["seen_add"]),
+                pool.submit(self.store.write_wave, "fetched", w, fetched_out),
+                pool.submit(self.store.write_wave, "counts", w,
+                            wave_counts.withColumn("wave", F.lit(w))),
+            ]
+            for f in futs:
+                f.result()
 
-        _tick("counts")
-        nf = self.store.read_wave("frontier", w + 1).cache()
-        n_frontier_next = nf.count()
-        n_new_retries = nf.filter("is_retry").count() if cfg.max_retry_count > 0 else 0
-        n_deferred = deferred.count() if deferred is not None else 0
+        _tick("wave_writes")
+        # one aggregate for every next-frontier statistic the loop needs  # noqa: E501 (tick below)
+        nrow = self.store.read_wave("frontier", w + 1).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_retry").cast("int")).alias("nr"),
+            F.min("not_before_ms").alias("min_due"),
+        ).first()
+        n_frontier_next = nrow["n"]
+        state.frontier_next = n_frontier_next
+        n_new_retries = nrow["nr"] or 0
         n_admitted = n_frontier_next - n_deferred
 
         state.crawled_count += n_processed
@@ -487,16 +541,16 @@ class WaveCrawler:
         state.next_seq += n_admitted
         # CrawledCount + Scheduler.Count at the start of the next wave
         state.budget_used = state.crawled_count + n_frontier_next
-        state.latched = state.latched or sched["any_budget_denial"]
+        state.latched = state.latched or any_budget_denial
 
         # simulated clock: politeness pacing; jump to the earliest
         # not_before if everything queued is in the future
         state.sim_clock_ms = wave_ts + max(wave_elapsed_ms, 1)
         if n_frontier_next > 0:
-            min_due = nf.agg(F.min("not_before_ms")).collect()[0][0]
+            min_due = nrow["min_due"]
             if min_due is not None and min_due > state.sim_clock_ms:
                 state.sim_clock_ms = min_due
-        nf.unpersist()
+        _tick("wave_stats")
 
         state.metrics.append({
             "wave": w, "due": n_processed + n_retried,
@@ -527,19 +581,17 @@ class WaveCrawler:
         ``wave_seconds*1000/delay_ms`` fetches per domain per wave, FIFO by
         seq; the remainder defers to the next wave keeping its seq (per-
         domain FIFO preserved).  Also defers rows whose ``not_before_ms``
-        (Retry-After) is still in the future."""
+        (Retry-After) is still in the future.
+
+        Returns ``(due, deferred, stats_df)`` — all lazy.  ``stats_df`` is
+        a <=2-row aggregate the caller collects ONCE per wave: per is-due
+        side it carries the row count, retry count, and the simulated
+        politeness elapsed (max over domains of count x delay).  Bundling
+        these replaces three separate driver actions (deferred emptiness,
+        elapsed, processed/retried counts)."""
         cfg = self.cfg
         base = cfg.min_crawl_delay_per_domain_milli_seconds
         not_due = F.col("not_before_ms") > F.lit(wave_ts)
-
-        if not delays and base <= 0:
-            if self.cfg.max_retry_count <= 0:
-                # no source of future not_before_ms -> whole frontier is due
-                return frontier, None, 0
-            due = frontier.filter(~not_due)
-            deferred = frontier.filter(not_due)
-            has_deferred = not deferred.isEmpty()
-            return due, (deferred if has_deferred else None), 0
 
         delay_map = F.create_map(
             *[F.lit(x) for kv in delays.items() for x in kv]) if delays else None
@@ -548,25 +600,43 @@ class WaveCrawler:
             delay_col = F.greatest(
                 F.coalesce(delay_map.getItem(F.col("domain")), F.lit(0)),
                 F.lit(base))
-        quota = F.when(
-            delay_col > 0,
-            F.greatest(F.floor(F.lit(cfg.wave_seconds * 1000) / delay_col),
-                       F.lit(1)),
-        ).otherwise(F.lit(1 << 62))
 
-        from pyspark.sql import Window
-        w_dom = Window.partitionBy("domain").orderBy("seq")
-        ranked = frontier.withColumn("_qrank", F.row_number().over(w_dom)) \
-                         .withColumn("_quota", quota) \
-                         .withColumn("_delay", delay_col)
-        due = ranked.filter((F.col("_qrank") <= F.col("_quota")) & ~not_due)
-        deferred = ranked.filter((F.col("_qrank") > F.col("_quota")) | not_due)
+        if not delays and base <= 0:
+            if self.cfg.max_retry_count <= 0:
+                # no source of future not_before_ms -> whole frontier is due
+                due, deferred = frontier, None
+                tagged = frontier.withColumn("_due", F.lit(True)) \
+                                 .withColumn("_delay", F.lit(0))
+            else:
+                due = frontier.filter(~not_due)
+                deferred = frontier.filter(not_due)
+                tagged = frontier.withColumn("_due", ~not_due) \
+                                 .withColumn("_delay", F.lit(0))
+        else:
+            quota = F.when(
+                delay_col > 0,
+                F.greatest(F.floor(F.lit(cfg.wave_seconds * 1000) / delay_col),
+                           F.lit(1)),
+            ).otherwise(F.lit(1 << 62))
 
-        elapsed_row = due.groupBy("domain") \
-            .agg((F.count(F.lit(1)) * F.first("_delay")).alias("_ms")) \
-            .agg(F.max("_ms")).collect()[0][0]
-        wave_elapsed = int(elapsed_row or 0)
-        due = due.drop("_qrank", "_quota", "_delay")
-        deferred = deferred.drop("_qrank", "_quota", "_delay")
-        has_deferred = not deferred.isEmpty()
-        return due, (deferred if has_deferred else None), wave_elapsed
+            from pyspark.sql import Window
+            w_dom = Window.partitionBy("domain").orderBy("seq")
+            ranked = frontier.withColumn("_qrank", F.row_number().over(w_dom)) \
+                             .withColumn("_quota", quota) \
+                             .withColumn("_delay", delay_col)
+            is_due = (F.col("_qrank") <= F.col("_quota")) & ~not_due
+            due = ranked.filter(is_due).drop("_qrank", "_quota", "_delay")
+            deferred = ranked.filter(~is_due).drop("_qrank", "_quota", "_delay")
+            tagged = ranked.withColumn("_due", is_due)
+
+        stats_df = (
+            tagged.groupBy("_due", "domain")
+            .agg(F.count(F.lit(1)).alias("_cnt"),
+                 F.sum(F.col("is_retry").cast("int")).alias("_retry"),
+                 F.first("_delay").alias("_d"))
+            .groupBy("_due")
+            .agg(F.sum("_cnt").alias("n"),
+                 F.sum("_retry").alias("n_retry"),
+                 F.max(F.col("_cnt") * F.col("_d")).alias("elapsed_ms"))
+        )
+        return due, deferred, stats_df

@@ -139,33 +139,61 @@ def prepare_corpus(pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
         )
     )
     out = base.withColumn("response_url", F.col("url"))
-    if not cfg.is_http_request_auto_redirects_enabled:
+    if (not cfg.is_http_request_auto_redirects_enabled
+            or cfg.http_request_max_auto_redirects < 1):
         return out
 
-    # landing-page lookup side (requested-url keyed)
-    target = base.select(
+    # Chains are resolved on a NARROW edge set first — (url, location) of
+    # the 3xx rows only — then the landing content is attached with ONE
+    # wide join.  The html-bearing corpus is never shuffled per hop: at a
+    # 100 TB corpus each hop of the naive wide self-join would re-shuffle
+    # page bodies; redirect edges are a small fraction of rows and two
+    # narrow columns.
+    is_redirect = (
+        (F.col("status_code") >= 300) & (F.col("status_code") <= 399)
+        & F.col("location_canon").isNotNull()
+    )
+    edges = base.filter(is_redirect).select(
+        F.col("url").alias("_e_src"),
+        F.col("location_canon").alias("_e_nxt"),
+    )
+    # walk: (src, cur) — cur advances while it is itself a redirect edge.
+    # ``landed`` rows left-join the corpus afterward; a missing landing
+    # page is the dangling case (404 + WebException, the .NET behavior).
+    walk = edges.select(
+        F.col("_e_src").alias("_w_src"), F.col("_e_nxt").alias("_w_cur"),
+        F.lit(False).alias("_w_open"))
+    step = edges.select(F.col("_e_src").alias("_s_key"),
+                        F.col("_e_nxt").alias("_s_nxt"))
+    for _ in range(cfg.http_request_max_auto_redirects - 1):
+        walk = (
+            walk.join(step, walk["_w_cur"] == step["_s_key"], "left")
+            .select(
+                "_w_src",
+                F.coalesce("_s_nxt", "_w_cur").alias("_w_cur"),
+                # still pointing at another redirect after this hop?
+                F.col("_s_nxt").isNotNull().alias("_w_open"),
+            )
+        )
+    resolved = walk.select(F.col("_w_src").alias("_r_src"),
+                           F.col("_w_cur").alias("_r_cur"),
+                           "_w_open")
+
+    landing = base.select(
         F.col("url").alias("_t_key"),
         *[F.col(c).alias(f"_t_{c}") for c in CONTENT_COLS],
         F.col("location_canon").alias("_t_location_canon"),
         F.col("location_domain").alias("_t_location_domain"),
         F.col("location_path").alias("_t_location_path"),
     )
-    is_redirect = (
-        (F.col("status_code") >= 300) & (F.col("status_code") <= 399)
-        & F.col("location_canon").isNotNull()
-    )
-    for _ in range(cfg.http_request_max_auto_redirects):
-        pending = out.filter(is_redirect)
-        done = out.filter(~is_redirect)
-        if pending.isEmpty():
-            out = done
-            break
-        stepped = pending.join(
-            target, pending["location_canon"] == target["_t_key"], "left"
-        )
-        followed = stepped.select(
+    followed = (
+        base.filter(is_redirect)
+        .join(resolved, F.col("url") == F.col("_r_src"), "left")
+        .join(landing, F.col("_r_cur") == F.col("_t_key"), "left")
+        .select(
             "url",
-            # missing target -> 404 + WebException (the .NET behavior)
+            # missing landing -> 404 + WebException (the .NET behavior);
+            # an over-limit chain (_w_open) keeps the last 3xx row reached
             F.coalesce("_t_status_code", F.lit(404)).alias("status_code"),
             F.col("_t_content_type").alias("content_type"),
             F.col("_t_html").alias("html"),
@@ -176,10 +204,10 @@ def prepare_corpus(pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
             F.col("_t_location_canon").alias("location_canon"),
             F.col("_t_location_domain").alias("location_domain"),
             F.col("_t_location_path").alias("location_path"),
-            F.col("location_canon").alias("response_url"),
+            F.col("_r_cur").alias("response_url"),
         )
-        out = done.unionByName(followed)
-    return out
+    )
+    return out.filter(~is_redirect).unionByName(followed)
 
 
 # ---------------------------------------------------------------------------
@@ -634,14 +662,12 @@ def schedule_wave(
         F.lit(wave_ts_ms).alias("wave_ts_ms"),
     )
 
-    any_budget_denial = False
-    if cfg.max_pages_active:
-        any_budget_denial = cand.filter("budget_denied").limit(1).count() > 0
-
+    # A3 latch probe (any budget_denied row) is the caller's to read off
+    # cand_cache — bundled with the cache-materializing aggregate so it
+    # costs no extra job
     return {
         "admitted": admitted,
         "seen_add": seen_add,
         "disallowed": disallowed,
-        "any_budget_denial": any_budget_denial,
         "cand_cache": cand,
     }

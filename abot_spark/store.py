@@ -47,6 +47,7 @@ class CrawlState:
     latched: bool = False           # A3 MaxPagesToCrawlLimitReachedOrScheduled
     stop_requested: bool = False    # A5
     hard_stop_requested: bool = False
+    frontier_next: int = -1         # rows in frontier wave+1 (-1 = unknown)
     sim_clock_ms: int = 0           # simulated wall clock for politeness
     root_authority: str = ""
     original_root_authority: str = ""

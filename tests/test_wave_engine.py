@@ -52,9 +52,17 @@ def run_spark_crawl(spark, web, cfg, max_waves=30):
     return crawler, state, rows
 
 
-def test_golden_crawl_set_and_order(spark, web):
+@pytest.fixture(scope="module")
+def base_crawl(spark, web):
+    """One shared BASE_CFG crawl — several tests assert different facets
+    of the same run (order/status, text bytes, robots audit, resume
+    baseline)."""
+    return run_spark_crawl(spark, web, BASE_CFG)
+
+
+def test_golden_crawl_set_and_order(spark, web, base_crawl):
     serial = SerialCrawler(web["fx"], BASE_CFG).crawl(SEED)
-    _, state, rows = run_spark_crawl(spark, web, BASE_CFG)
+    _, state, rows = base_crawl
     assert [r["url"] for r in rows] == serial.crawl_order
     assert state.crawled_count == serial.crawled_count
     # status parity (the integration oracle is a (url,status) set)
@@ -63,10 +71,10 @@ def test_golden_crawl_set_and_order(spark, web):
         assert serial_status[r["url"]] == r["status_code"]
 
 
-def test_extracted_text_byte_identical(spark, web):
+def test_extracted_text_byte_identical(spark, web, base_crawl):
     """north_rule invariant: byte-identical extracted text per url."""
     ground = {p.url: p.text for p in web["fx"].pages}
-    _, state, rows = run_spark_crawl(spark, web, BASE_CFG)
+    _, state, rows = base_crawl
     checked = 0
     for r in rows:
         if r["status_code"] == 200 and r["text"] is not None:
@@ -104,8 +112,8 @@ def test_max_depth(spark, web):
     assert all(r["depth"] <= 1 for r in rows)
 
 
-def test_robots_disallow_evented(spark, web):
-    crawler, state, rows = run_spark_crawl(spark, web, BASE_CFG)
+def test_robots_disallow_evented(spark, web, base_crawl):
+    crawler, state, rows = base_crawl
     dis = crawler.store.read_all("disallowed", state.wave + 1).collect()
     reasons = {r["url"]: r["reason"] for r in dis}
     assert "http://d0.example.com/private/secret" in reasons
@@ -117,7 +125,7 @@ def test_robots_disallow_evented(spark, web):
     assert all("/private/" not in r["url"] for r in rows)
 
 
-def test_resume_equals_uninterrupted(spark, web):
+def test_resume_equals_uninterrupted(spark, web, base_crawl):
     wdir = tempfile.mkdtemp(prefix="abot-resume-")
     c1 = WaveCrawler(spark, BASE_CFG, wdir, web["pages"], web["robots"])
     c1.crawl([SEED], max_waves=2)  # interrupt after wave 1
@@ -126,7 +134,7 @@ def test_resume_equals_uninterrupted(spark, web):
     st2 = c2.resume()
     resumed = [r["url"] for r in
                c2.store.read_all("fetched", st2.wave).orderBy("seq").collect()]
-    _, st3, rows = run_spark_crawl(spark, web, BASE_CFG)
+    _, st3, rows = base_crawl
     assert resumed == [r["url"] for r in rows]
     assert (st2.crawled_count, st2.next_seq) == (st3.crawled_count, st3.next_seq)
 
@@ -149,7 +157,7 @@ def test_garbage_seed(spark, web):
     assert state.crawled_count == 0
 
 
-def test_stop_sentinel_and_resume(spark, web):
+def test_stop_sentinel_and_resume(spark, web, base_crawl):
     """A5 Stop: the STOP sentinel halts at the next wave boundary with
     committed state; removing it and resuming completes the crawl."""
     import os
@@ -162,7 +170,7 @@ def test_stop_sentinel_and_resume(spark, web):
     c2 = WaveCrawler(spark, BASE_CFG, wdir, web["pages"], web["robots"])
     c2._seed_auths = ("d0.example.com",)
     st2 = c2.resume()
-    _, st3, rows = run_spark_crawl(spark, web, BASE_CFG)
+    _, st3, rows = base_crawl
     resumed = [r["url"] for r in
                c2.store.read_all("fetched", st2.wave).orderBy("seq").collect()]
     assert resumed == [r["url"] for r in rows]
