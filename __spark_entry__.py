@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from abot_spark.config import CrawlConfig
 from abot_spark.operators.decisions import (
     reason_should_crawl_page,
+    reason_should_crawl_page_links,
     reason_should_download_page_content,
 )
 from abot_spark.ops import dedup as D
@@ -265,6 +266,65 @@ def q_crawl_redirect_resolve(spark, sf_dir):
     ).orderBy("url")
 
 
+def q_crawl_f2_links_gate(spark, sf_dir):
+    """F2 ShouldCrawlPageLinks chain (CrawlDecisionMaker.cs:95-114) with
+    byte-identical reason strings; note the ``>=`` depth check vs F1's
+    ``>``.  Page text is blanked deterministically for doc_id%13==0 to
+    exercise the no-content branch."""
+    d = _docs(spark, sf_dir)
+    text_eff = F.when(F.col("doc_id") % 13 == 0, F.lit("")) \
+        .otherwise(F.col("text"))
+    reason = reason_should_crawl_page_links(
+        CFG,
+        text=text_eff,
+        is_internal=F.col("doc_id") % 11 != 0,
+        depth=(F.col("doc_id") % 120).cast("int"),
+    )
+    return d.select(
+        "doc_id", reason.alias("reason"), reason.isNull().alias("allow"),
+    ).orderBy("doc_id")
+
+
+def q_crawl_robots_gate(spark, sf_dir):
+    """F6 robots gate: longest-match allow/disallow verdict
+    (RobotsDotTextTest contract) evaluated by the vectorized robots UDF
+    over per-domain rule arrays arriving via broadcast join.  Domains with
+    dom_idx%4==0 carry Disallow:/p/ + Allow:/p/2 — the longer allow rule
+    wins for paths under /p/2 (wildcard-group non-inheritance fixture
+    shape)."""
+    from abot_spark.functions.udfs import robots_allowed_col
+    u = _urls(spark, sf_dir)
+    gated = (F.col("doc_id") % 20) % 4 == 0
+    arr_t = "array<string>"
+    allow_rules = F.when(gated, F.array(F.lit("/p/2"))) \
+        .otherwise(F.lit(None).cast(arr_t))
+    dis_rules = F.when(gated, F.array(F.lit("/p/"))) \
+        .otherwise(F.lit(None).cast(arr_t))
+    path = F.concat(F.lit("/p/"), F.col("doc_id"))
+    return u.select(
+        "url",
+        robots_allowed_col(path, allow_rules, dis_rules).alias("allowed"),
+    ).orderBy("url")
+
+
+def q_crawl_link_cap(spark, sf_dir):
+    """T4 MaxLinksPerPage: the cap counts *scheduled* (admitted) links in
+    document order (WebCrawler.cs:1138-1166) — a row_number window over
+    the post-decision survivors, here capped at 2 with a deterministic
+    pos%3 admission stand-in."""
+    u = _urls(spark, sf_dir)
+    exploded = u.select(
+        "url", F.posexplode(F.sequence(
+            F.lit(0), (F.col("doc_id") % 7).cast("int"))).alias("pos", "_v"),
+    ).filter(F.col("pos") % 3 != 0)
+    w = Window.partitionBy("url").orderBy("pos")
+    return exploded.withColumn("sched_rank", F.row_number().over(w)) \
+        .filter(F.col("sched_rank") <= 2) \
+        .select("url", F.col("pos").cast("int").alias("link_pos"),
+                F.col("sched_rank").cast("int").alias("sched_rank")) \
+        .orderBy("url", "link_pos")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries
 # ---------------------------------------------------------------------------
@@ -395,6 +455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_politeness_quota": q_crawl_politeness_quota,
         "crawl_retry_backoff": q_crawl_retry_backoff,
         "crawl_redirect_resolve": q_crawl_redirect_resolve,
+        "crawl_f2_links_gate": q_crawl_f2_links_gate,
+        "crawl_robots_gate": q_crawl_robots_gate,
+        "crawl_link_cap": q_crawl_link_cap,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_bands": q_dedup_minhash_bands,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -568,6 +631,45 @@ def oracle_sql() -> dict[str, str]:
                              ELSE mx - doc_id + 1 END AS INT) AS hops,
                    doc_id + steps > mx AS dangling
             FROM k, m ORDER BY url""",
+        "crawl_f2_links_gate": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL
+                             OR trim(CASE WHEN doc_id % 13 = 0 THEN ''
+                                          ELSE text END) = ''
+                          THEN 'Page has no content'
+                        WHEN doc_id % 11 = 0 THEN 'Link is external'
+                        WHEN doc_id % 120 >= 100
+                          THEN 'Crawl depth is above max'
+                   END AS reason,
+                   (CASE WHEN text IS NULL
+                              OR trim(CASE WHEN doc_id % 13 = 0 THEN ''
+                                           ELSE text END) = ''
+                         THEN 'Page has no content'
+                         WHEN doc_id % 11 = 0 THEN 'Link is external'
+                         WHEN doc_id % 120 >= 100
+                           THEN 'Crawl depth is above max'
+                    END) IS NULL AS allow
+            FROM documents ORDER BY doc_id""",
+        "crawl_robots_gate": f"""
+            WITH u AS ({_URLS_SQL})
+            SELECT url,
+                   CASE WHEN (doc_id % 20) % 4 = 0
+                        THEN starts_with('/p/' || doc_id, '/p/2')
+                        ELSE TRUE END AS allowed
+            FROM u ORDER BY url""",
+        "crawl_link_cap": f"""
+            WITH u AS ({_URLS_SQL}),
+            e AS (SELECT url, CAST(t.i AS INT) AS link_pos
+                  FROM u CROSS JOIN
+                       UNNEST(range(0, CAST(doc_id % 7 AS INT) + 1)) AS t(i)
+                  WHERE t.i % 3 <> 0)
+            SELECT url, link_pos,
+                   CAST(row_number() OVER (PARTITION BY url
+                                           ORDER BY link_pos) AS INT)
+                     AS sched_rank
+            FROM e
+            QUALIFY sched_rank <= 2
+            ORDER BY url, link_pos""",
         "dedup_exact": f"""
             WITH d AS (SELECT doc_id, md5({_NORM_SQL}) AS digest
                        FROM documents)
