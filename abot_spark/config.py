@@ -74,6 +74,10 @@ class CrawlConfig:
                                       # the corpus already holds the bytes)
     wave_seconds: float = 60.0        # politeness quota horizon per wave
     shuffle_partitions: int = 0       # 0 = inherit spark.sql.shuffle.partitions
+    arrow_max_records_per_batch: int = 512  # UDF batch rows; default sized
+                                      # for MB-scale html cells — raise for
+                                      # small-page corpora (batch bytes =
+                                      # rows x avg cell size)
     seen_buckets: int = 64            # hash buckets for the seen-set table
     domain_salt: int = 8              # salt factor for skewed-domain fetch
     bloom_expected_items: int = 10_000_000

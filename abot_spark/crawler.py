@@ -75,7 +75,8 @@ class WaveCrawler:
         # MB-sized html/text cells: the default 10k-record Arrow batch is
         # ~GBs per python worker; cap so UDF transfer stays ~tens of MB.
         self.spark.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(self.cfg.arrow_max_records_per_batch))
         # seen-wave deltas come back via Arrow toPandas (bloom absorption)
         self.spark.conf.set("spark.sql.execution.arrow.pyspark.enabled",
                             "true")
@@ -223,7 +224,11 @@ class WaveCrawler:
         src = (seen_add if seen_add is not None
                else self.store.read_wave("seen", wave))
         pdf = src.select("url_hash").toPandas()
-        self._seen_bloom.add_many(pdf["url_hash"].to_numpy(dtype=np.int64))
+        # the wave delta may carry in-wave duplicate rows (seen_add skips
+        # the distinct shuffle by design); np.unique here keeps n_added =
+        # unique keys so the filter's saturation accounting stays exact
+        self._seen_bloom.add_many(
+            np.unique(pdf["url_hash"].to_numpy(dtype=np.int64)))
         self.store.save_bloom(self._seen_bloom, wave)
 
     # -- seeding (S1: StartCrawlRootPage, WebCrawler.cs:480-495) -------------
@@ -276,25 +281,29 @@ class WaveCrawler:
             .withColumn("wave", F.lit(0))
         # one cache-materializing aggregate: admitted count (= frontier 0
         # rows; no retries/deferrals exist at seed time) + A3 latch probe
+        sched["cand_base"].count()  # fill the base before the plan forks
         crow = sched["cand_cache"].agg(
             F.sum(F.col("admitted").cast("int")).alias("n"),
             F.max(F.col("budget_denied").cast("int")).alias("bd")).first()
         n = int(crow["n"] or 0)
+        out_parts = self._nparts if n >= 2000 else 2
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=4) as pool:
             futs = [
                 pool.submit(self.store.write_wave, "frontier", 0,
                             frontier0.select(
                                 [f.name for f in FRONTIER_SCHEMA.fields])
-                            .coalesce(2)),
+                            .coalesce(out_parts)),
                 pool.submit(self.store.write_wave, "seen", 0,
-                            sched["seen_add"].coalesce(2)),
+                            sched["seen_add"].coalesce(out_parts)),
                 pool.submit(self.store.write_wave, "disallowed", 0,
-                            sched["disallowed"].coalesce(2)),
+                            sched["disallowed"].coalesce(out_parts)),
                 pool.submit(self._absorb_seen_wave, 0, sched["seen_add"]),
             ]
             for f in futs:
                 f.result()
+        sched["cand_cache"].unpersist(False)
+        sched["cand_base"].unpersist(False)
         state.next_seq = n
         state.budget_used = n
         state.latched = bool(crow["bd"])
@@ -490,9 +499,16 @@ class WaveCrawler:
         # reads off the A3 budget-denial latch probe), then run the three
         # independent appends as concurrent Spark jobs — they only read the
         # cache, so pipelining them hides 2 job latencies
+        # materialize the candidate base FIRST: the admission plan forks
+        # into sibling stages (bloom maybe/fresh, known/fresh) that would
+        # otherwise race to fill the cache concurrently, re-running the
+        # link UDF per branch for the same partitions
+        sched["cand_base"].count()
+        _tick("cand_base_ckpt")
         crow = sched["cand_cache"].agg(
             F.max(F.col("budget_denied").cast("int")).alias("bd")).first()
         any_budget_denial = bool(crow["bd"])
+        _tick("admission_agg")
         # small waves (all of them while a crawl ramps up) write few rows:
         # merge the output partitions so later read_all unions stay at a
         # sane file count.  n_processed is this wave's volume; candidates
@@ -523,6 +539,8 @@ class WaveCrawler:
             ]
             for f in futs:
                 f.result()
+        sched["cand_cache"].unpersist(False)
+        sched["cand_base"].unpersist(False)
 
         _tick("wave_writes")
         # one aggregate for every next-frontier statistic the loop needs  # noqa: E501 (tick below)

@@ -425,21 +425,34 @@ def schedule_wave(
     cand = candidates.withColumn("url_hash", F.xxhash64("url"))
 
     # -- known-URL pre-check (T5): accumulated seen + in-wave first-occurrence
+    if seen is not None and seen_bloom is not None:
+        # Bloom sidecar fast path (SURVEY.md §4): compute the probe column
+        # on the shared base (cached below) so the per-candidate bloom UDF
+        # runs once, not once per branch.
+        from abot_spark.functions.udfs import bloom_maybe_col
+
+        bc, n_exp, fpp = seen_bloom
+        cand = cand.withColumn(
+            "_maybe", bloom_maybe_col(bc, n_exp, fpp, F.col("url_hash")))
+    # The plan forks below (bloom maybe/fresh, known/fresh dedup) and each
+    # fork re-executes its lineage — which contains the link-extraction UDF
+    # and explode.  Cache the candidate base ONCE so every branch reads the
+    # materialized rows instead of re-running the UDF per branch.  Caching
+    # it ALREADY hash-partitioned on url_hash lets the in-wave dup window
+    # and the seen join both reuse that clustering — the wide candidate
+    # rows shuffle once into the cache instead of once per consumer.
+    cand_base = cand.repartition(num_partitions, "url_hash").cache()
+    cand = cand_base
+
     if seen is not None:
         seen_keys = seen.select("url_hash").distinct() \
             .withColumn("_known", F.lit(True))
         if seen_bloom is not None:
-            # Bloom sidecar fast path (SURVEY.md §4): candidates the filter
-            # rules out are *definitely new* and skip the exact join; only
-            # the "maybe seen" sliver (true hits + fpp of the new ones)
-            # shuffles against the accumulated seen table.  Exact: a bloom
-            # false positive just rides through the join and comes back
-            # is_known=False.
-            from abot_spark.functions.udfs import bloom_maybe_col
-
-            bc, n_exp, fpp = seen_bloom
-            cand = cand.withColumn(
-                "_maybe", bloom_maybe_col(bc, n_exp, fpp, F.col("url_hash")))
+            # candidates the filter rules out are *definitely new* and skip
+            # the exact join; only the "maybe seen" sliver (true hits + fpp
+            # of the new ones) shuffles against the accumulated seen table.
+            # Exact: a bloom false positive just rides through the join and
+            # comes back is_known=False.
             maybe_part = cand.filter(F.col("_maybe")) \
                 .join(seen_keys, "url_hash", "left")
             fresh_part = cand.filter(~F.col("_maybe")) \
@@ -461,9 +474,19 @@ def schedule_wave(
         # IsUriKnown pre-check in SchedulePageLinks (:1113-1117).
         cand = cand.withColumn(
             "is_known", F.col("is_known") & (F.col("kind") != 0))
+    # in-wave first-occurrence dedup — ONLY over not-yet-known candidates.
+    # A url_hash's occurrences are either all known or all fresh, and known
+    # rows are never decided/evented regardless of dup rank, so running the
+    # window on the fresh sliver is semantically identical while shrinking
+    # the wave's biggest shuffle from |all links| to |novel links| (in a
+    # warmed-up crawl the overwhelming majority of outlinks are known).
     w_dup = Window.partitionBy("url_hash").orderBy(*ORD)
-    cand = cand.withColumn("_occ", F.row_number().over(w_dup)) \
-               .withColumn("dup_skipped", F.col("_occ") > 1).drop("_occ")
+    fresh = cand.filter(~F.col("is_known")) \
+        .withColumn("_occ", F.row_number().over(w_dup)) \
+        .withColumn("dup_skipped", F.col("_occ") > 1).drop("_occ")
+    cand = cand.filter(F.col("is_known")) \
+        .withColumn("dup_skipped", F.lit(False)) \
+        .unionByName(fresh)
     # a known/dup link is still iterated (stays seen-marked) but never
     # decided and never evented (Crawl_ExtractedLinksAreNotCheckedTwice)
     decidable = ~F.col("is_known") & ~F.col("dup_skipped")
@@ -630,11 +653,16 @@ def schedule_wave(
     # AddKnownUri for every *iterated* link (:1153) + AddIfNew for admitted
     # redirect children (Scheduler.Add path; denied redirect children are
     # NOT marked — ProcessRedirect has no AddKnownUri loop)
+    # NO distinct: in-wave duplicate rows ride into the seen append (the
+    # probe side distincts at read, bloom adds are idempotent), saving a
+    # full shuffle of the novel-link set every wave.  Matches the
+    # reference's set contract (AddIfNew is idempotent) at the storage
+    # layer's cost of a few duplicate hash rows per wave.
     seen_add = cand.filter(
         (((F.col("kind") == 1) & F.col("iterated"))
          | ((F.col("kind") == 0) & F.col("admitted")))
         & ~F.col("_in_seen")   # membership already exact -> no re-anti-join
-    ).select("url_hash", "url").distinct()
+    ).select("url_hash", "url")
 
     disallowed = cand.filter(
         F.col("iterated") & ~F.col("is_known") & ~F.col("dup_skipped")
@@ -670,4 +698,5 @@ def schedule_wave(
         "seen_add": seen_add,
         "disallowed": disallowed,
         "cand_cache": cand,
+        "cand_base": cand_base,   # unpersist with cand_cache after writes
     }
