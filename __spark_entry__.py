@@ -40,6 +40,12 @@ from abot_spark.ops.multimodal import extract_media_features, synth_media
 
 CFG = CrawlConfig()
 
+# sign-bit LSH signature over the first 6 embedding dims (1-based in SQL;
+# must mirror abot_spark.ops.similarity.sign_signature bit-for-bit)
+_SIGN_SIG_SQL = " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(6))
+
 
 # ---------------------------------------------------------------------------
 # the derived URL table (identical arithmetic in Spark and the SQL oracle)
@@ -352,6 +358,13 @@ def q_dedup_ngram_pairs(spark, sf_dir):
                                  threshold=0.2).orderBy("doc_a", "doc_b")
 
 
+def q_dedup_embedding(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    return S.embedding_neardup_pairs(emb, bits=6, threshold=0.3) \
+        .orderBy("vec_a", "vec_b")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
@@ -463,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
+        "dedup_embedding": q_dedup_embedding,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
@@ -717,6 +731,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 4) >= 0.2
             ORDER BY doc_a, doc_b""",
+        "dedup_embedding": f"""
+            WITH sig AS (
+              SELECT vec_id, embedding, {_SIGN_SIG_SQL} AS sig
+              FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cosine} AS score
+            FROM sig a JOIN sig b
+              ON a.sig = b.sig AND a.vec_id < b.vec_id
+            WHERE {cosine} >= 0.3
+            ORDER BY vec_a, vec_b""",
         "ann_cosine_topk": f"""
             WITH scored AS (
               SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -57,6 +57,45 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int],
         .select("query_id", "neighbor_id", "rank", "score")
 
 
+def sign_signature(vec, bits: int = 6):
+    """Random-hyperplane LSH signature using the first ``bits`` axis-aligned
+    hyperplanes (bit j = embedding[j] >= 0).  Axis-aligned planes are a
+    degenerate-but-valid hyperplane family chosen for engine portability:
+    the identical integer is computable in ANSI SQL, so the DuckDB oracle
+    can reproduce the bucketing bit-for-bit.  In production swap in seeded
+    Gaussian projections (same plan shape, one extra broadcast of the
+    projection matrix)."""
+    sig = F.lit(0)
+    for j in range(bits):
+        sig = sig + F.when(vec[j] >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig.cast("int")
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, bits: int = 6,
+                            threshold: float = 0.3) -> DataFrame:
+    """(vec_a, vec_b, score): embedding-cosine near-duplicate pairs.
+
+    The scale path for embedding dedup over 10^9+ vectors: bucket by the
+    ``bits``-bit hyperplane signature (cosine-similar vectors land in the
+    same bucket with probability (1 - theta/pi)^bits), then score only
+    within-bucket pairs — one shuffle on the signature instead of an
+    all-pairs cross join.  Threshold applies to the 4-decimal-rounded
+    score so both engines make the identical inclusion decision."""
+    sig = embeddings.select(
+        "vec_id", "embedding",
+        sign_signature(F.col("embedding"), bits).alias("sig"))
+    a = sig.select(F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").alias("va"), "sig")
+    b = sig.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("vb"), "sig")
+    return (
+        a.join(b, "sig").filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b",
+                cosine_col(F.col("va"), F.col("vb")).alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def assign_clusters(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
     """(vec_id, cluster): nearest centroid by cosine; centroids are the
     first ``n_centroids`` vectors by vec_id (deterministic seeding —

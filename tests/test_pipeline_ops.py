@@ -98,6 +98,35 @@ def test_cosine_topk_prefers_same_label(spark, emb):
             assert labels[r["neighbor_id"]] == labels[r["query_id"]]
 
 
+def test_embedding_neardup_bucketed_pairs(spark, emb):
+    """Near-dup pairs must (a) share the sign-bit LSH bucket, (b) carry the
+    exact brute-force cosine, (c) contain every same-bucket pair above the
+    threshold — the bucketing prunes candidates, never scores."""
+    out = S.embedding_neardup_pairs(emb, bits=4, threshold=0.9).collect()
+    sigs = {r["vec_id"]: r["sig"] for r in emb.select(
+        "vec_id", S.sign_signature(F.col("embedding"), 4).alias("sig"))
+        .collect()}
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return round(dot / (na * nb), 4)
+
+    got = {(r["vec_a"], r["vec_b"]): r["score"] for r in out}
+    assert got, "fixture should contain near-dup pairs"
+    for (a, b), score in got.items():
+        assert sigs[a] == sigs[b]
+        assert score == pytest.approx(cos(vecs[a], vecs[b]), abs=1e-4)
+    # completeness within buckets
+    ids = sorted(vecs)
+    for i in ids:
+        for j in ids:
+            if i < j and sigs[i] == sigs[j] and cos(vecs[i], vecs[j]) >= 0.9:
+                assert (i, j) in got
+
+
 def test_ivf_topk_subset_of_cluster(spark, emb):
     clusters = {r["vec_id"]: r["cluster"] for r in
                 S.assign_clusters(emb, 4).collect()}
