@@ -68,6 +68,11 @@ class CrawlConfig:
     max_retry_count: int = 0
     min_retry_delay_in_milliseconds: int = 0
 
+    # -- memory guard (A4, driver-side; CrawlConfiguration.cs:38-50) --------
+    max_memory_usage_in_mb: int = 0                  # 0 disables
+    min_available_memory_required_in_mb: int = 0     # 0 disables
+    max_memory_usage_cache_time_in_seconds: int = 2
+
     # -- engine-specific (no Abot equivalent) -------------------------------
     audit_text: bool = True           # False: fetched audit stores sha256+len
                                       # instead of the full text (scale mode:

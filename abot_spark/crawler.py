@@ -155,7 +155,27 @@ class WaveCrawler:
     # False vetoes the link silently before the decision pipeline.
     user_link_predicate = None
 
+    # A4: injectable for tests (simulated readings); real monitor by default
+    memory_monitor = None
+
+    def _memory(self):
+        if self.memory_monitor is None:
+            from abot_spark.memory import CachedMemoryMonitor
+            self.memory_monitor = CachedMemoryMonitor(
+                self.cfg.max_memory_usage_cache_time_in_seconds)
+        return self.memory_monitor
+
     def crawl(self, seed_urls: list[str], max_waves: int = 1000) -> CrawlState:
+        # A4 start gate (WebCrawler.cs:544-560): refuse to begin unless the
+        # host can supply MinAvailableMemoryRequiredInMb
+        req = self.cfg.min_available_memory_required_in_mb
+        if req > 0 and not self._memory().is_space_available(req):
+            from abot_spark.memory import InsufficientMemoryError
+            raise InsufficientMemoryError(
+                f"Process does not have the configured [{req}mb] of "
+                f"available memory to crawl site. This is configurable "
+                f"through the minAvailableMemoryRequiredInMb in app.conf "
+                f"or CrawlConfiguration.MinAvailableMemoryRequiredInMb.")
         state = CrawlState()
         seeds = [canonicalize(u) for u in seed_urls]
         seeds = [s for s in seeds if s is not None]
@@ -362,6 +382,15 @@ class WaveCrawler:
             import os as _os
             if _os.path.exists(_os.path.join(self.store.work_dir, "STOP")):
                 state.stop_requested = True
+            # A4 memory guard (WebCrawler.cs:580-599): driver RSS above the
+            # configured cap aborts the crawl with the reason in the manifest
+            maxmb = cfg.max_memory_usage_in_mb
+            if maxmb > 0 and self._memory().process_used_mb() > maxmb:
+                state.error = (
+                    f"InsufficientMemory: process is using "
+                    f"{self._memory().process_used_mb()}mb, above the max "
+                    f"configured MaxMemoryUsageInMb of {maxmb}mb")
+                state.hard_stop_requested = True
             if state.hard_stop_requested or state.stop_requested:
                 self.store.commit_state(state)
                 break

@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
+    IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -137,6 +139,73 @@ def links_col(cfg: CrawlConfig, text: Column, page_url: Column,
         return pd.Series(out)
 
     return _links(text, page_url, x_robots_tag)
+
+
+# flat candidate rows produced by flat_links_map (T1+T3 fused with the
+# explode): url/domain/path of each outlink plus the parent carry-through
+FLAT_LINKS_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("domain", StringType()),
+    StructField("path", StringType()),
+    StructField("parent_seq", LongType()),
+    StructField("parent_url", StringType()),
+    StructField("depth", IntegerType()),
+    StructField("pos", IntegerType()),
+])
+
+
+def flat_links_map(cfg: CrawlConfig):
+    """``mapInPandas`` generator fusing T1+T3 with the explode.
+
+    The ``links_col`` + ``posexplode`` plan builds 10^7s of Python dicts
+    per wave, ships them as Arrow *nested* struct arrays, and then pays a
+    JVM ``Generate`` + struct projection that profiles as expensive as the
+    parse itself (see BENCH.md).  Emitting already-flat columns keeps the
+    whole path primitive Arrow arrays: the per-page loop appends to flat
+    lists and the parent columns are ``np.repeat``'d — no nested types,
+    no Generate.  Input rows: (text, response_url, x_robots_tag, seq,
+    url, depth); output: FLAT_LINKS_SCHEMA with ``depth`` already +1 and
+    ``pos`` the in-page first-seen link index (T5 ordering key).
+    """
+    import numpy as np
+
+    def gen(batches):
+        for pdf in batches:
+            urls: list[str] = []
+            domains: list[str] = []
+            paths: list[str] = []
+            counts = np.zeros(len(pdf), dtype=np.int64)
+            text_a = pdf["text"].to_numpy()
+            rurl_a = pdf["response_url"].to_numpy()
+            xrt_a = pdf["x_robots_tag"].to_numpy()
+            for i in range(len(pdf)):
+                text_v, url_v = text_a[i], rurl_a[i]
+                if text_v is None or url_v is None:
+                    continue
+                links = get_links(text_v, url_v, cfg, xrt_a[i])
+                counts[i] = len(links)
+                for link in links:
+                    netloc, path = split_authority_path(link)
+                    urls.append(link)
+                    domains.append(netloc)
+                    paths.append(path)
+            if not urls:
+                continue
+            pos = np.concatenate(
+                [np.arange(c, dtype=np.int32) for c in counts if c > 0])
+            yield pd.DataFrame({
+                "url": urls,
+                "domain": domains,
+                "path": paths,
+                "parent_seq": np.repeat(
+                    pdf["seq"].to_numpy(dtype=np.int64), counts),
+                "parent_url": np.repeat(pdf["url"].to_numpy(), counts),
+                "depth": np.repeat(
+                    pdf["depth"].to_numpy(dtype=np.int32), counts) + 1,
+                "pos": pos,
+            })
+
+    return gen
 
 
 def bloom_maybe_col(bloom_bc, expected_items: int, fpp: float,

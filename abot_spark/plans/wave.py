@@ -67,7 +67,8 @@ from abot_spark.operators.decisions import (
     reason_should_recrawl_page,
 )
 from abot_spark.functions.udfs import (
-    links_col,
+    FLAT_LINKS_SCHEMA,
+    flat_links_map,
     robots_allowed_col,
     text_extract_col,
 )
@@ -283,33 +284,24 @@ def extract_wave(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
 
 
 def explode_links(extracted: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """T1/T3: links UDF over F2-allowed pages, posexploded to candidates.
+    """T1/T3 fused with the explode: one ``mapInPandas`` stage over
+    F2-allowed pages emits already-flat candidate rows.
 
-    The UDF returns ``array<struct<url,domain,path>>`` (authority/path
-    computed in-batch, saving a JVM re-parse); base URI is
-    ``response_url`` (issue 82, ``HyperLinkParser.cs:162-165``).
+    Base URI is ``response_url`` (issue 82, ``HyperLinkParser.cs:162-165``);
+    authority/path are computed in-batch, saving a JVM re-parse.  The fused
+    shape replaced ``links_col`` + ``posexplode`` after profiling showed
+    the JVM ``Generate`` + struct projection over Python-built nested
+    arrays costing as much as the HTML parse itself (BENCH.md) — flat
+    primitive Arrow columns skip that entirely.
     """
     linkable = extracted.filter(
         (~F.col("size_dropped")) & F.col("links_reason").isNull()
     )
-    with_links = linkable.withColumn(
-        "_links",
-        links_col(cfg, F.col("text"), F.col("response_url"),
-                  F.col("x_robots_tag")),
-    )
+    flat = linkable.select(
+        "text", "response_url", "x_robots_tag", "seq", "url", "depth"
+    ).mapInPandas(flat_links_map(cfg), FLAT_LINKS_SCHEMA)
     return (
-        with_links.select(
-            F.col("seq").alias("parent_seq"),
-            F.col("url").alias("parent_url"),
-            (F.col("depth") + 1).alias("depth"),
-            F.posexplode("_links").alias("pos", "_l"),
-        )
-        .select(
-            F.col("_l.url").alias("url"),
-            F.col("_l.domain").alias("domain"),
-            F.col("_l.path").alias("path"),
-            "parent_seq", "parent_url", "depth", "pos",
-        )
+        flat
         .withColumn("kind", F.lit(1))
         .withColumn("is_retry", F.lit(False))
         .withColumn("retry_count", F.lit(0))

@@ -52,6 +52,7 @@ class CrawlState:
     root_authority: str = ""
     original_root_authority: str = ""
     robots_dropped: bool = False    # root-disallow escape hatch fired (F6)
+    error: str = ""                 # terminal abort reason (A4 memory, ...)
     metrics: list[dict] = field(default_factory=list)  # per-wave lineage
 
 

@@ -1,0 +1,3 @@
+from abot_spark.streaming.ingest import (  # noqa: F401
+    discovery_rate_stream, page_extract_stream, seed_ingest_stream,
+)
