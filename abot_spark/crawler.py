@@ -56,7 +56,15 @@ FRONTIER_SCHEMA = StructType([
 
 class WaveCrawler:
     def __init__(self, spark: SparkSession, cfg: CrawlConfig, work_dir: str,
-                 pages: DataFrame, robots: DataFrame | None = None):
+                 pages: DataFrame | None, robots: DataFrame | None = None,
+                 fetcher=None):
+        """``pages`` is the simulated-web corpus (fetch = join); passing a
+        ``fetcher`` callable instead (see ``plans/fetch_live.py``) switches
+        the fetch stage to the salted live-HTTP ``mapInPandas`` path —
+        ``HttpFetcher(cfg)`` for a real crawl."""
+        if pages is None and fetcher is None:
+            raise ValueError("need a pages corpus or a fetcher")
+        self.fetcher = fetcher
         self.spark = spark
         self.cfg = cfg
         self._nparts = cfg.shuffle_partitions or int(
@@ -92,8 +100,10 @@ class WaveCrawler:
         # union per redirect hop, so repartitioning its *input* would leave
         # the checkpoint (and with it every wave stage) at hops x nparts
         # partitions.
-        self._corpus = W.prepare_corpus(self.pages, self.cfg) \
-            .repartition(self._nparts, "url").localCheckpoint()
+        self._corpus = None
+        if self.pages is not None:
+            self._corpus = W.prepare_corpus(self.pages, self.cfg) \
+                .repartition(self._nparts, "url").localCheckpoint()
         # Bloom sidecar over the accumulated seen hashes (SURVEY.md §4):
         # resumed crawls reload the persisted snapshot (or rebuild it from
         # the seen table if the sidecar predates the feature / was lost)
@@ -337,7 +347,7 @@ class WaveCrawler:
         from abot_spark.functions.robots import RobotsDotText
         from abot_spark.functions.sitemaps import resolve_sitemaps
 
-        if self.robots_df is None or not seeds:
+        if self.robots_df is None or self.pages is None or not seeds:
             return []
         robots_txt = {r["domain"]: r["robots_txt"]
                       for r in self.robots_df.collect()}
@@ -445,7 +455,16 @@ class WaveCrawler:
             deferred = None
 
         _tick("politeness")
-        fetched = W.fetch_wave(due, self._corpus)
+        if self._corpus is not None:
+            fetched = W.fetch_wave(due, self._corpus)
+        else:
+            # live deployment: salted domain-bucketed mapInPandas fetch
+            # (plans/fetch_live.py); the quota above already bounded this
+            # wave's per-domain volume, the stage paces within the budget
+            from abot_spark.plans.fetch_live import salted_fetch
+            fetched = salted_fetch(due, cfg, self.fetcher, delays,
+                                   wave_ts_ms=wave_ts,
+                                   num_partitions=self._nparts)
         extracted = W.extract_wave(fetched, cfg) \
             .withColumn("task_partition_id", F.spark_partition_id()) \
             .drop("html").localCheckpoint()
@@ -554,17 +573,29 @@ class WaveCrawler:
             wave_counts = wave_counts.unionByName(prior_counts) \
                 .groupBy("domain").agg(F.sum("cnt").alias("cnt"))
         from concurrent.futures import ThreadPoolExecutor
+
+        def _timed(label, fn, *a):
+            ts = time.monotonic()
+            fn(*a)
+            if _timing:
+                print(f"WAVETIME wave={w} write:{label}="
+                      f"{time.monotonic() - ts:.2f}s", flush=True)
+
         with ThreadPoolExecutor(max_workers=6) as pool:
             futs = [
-                pool.submit(self.store.write_wave, "frontier", w + 1,
-                            next_frontier),
-                pool.submit(self.store.write_wave, "seen", w + 1, seen_out),
-                pool.submit(self.store.write_wave, "disallowed", w + 1,
-                            dis_out),
-                pool.submit(self._absorb_seen_wave, w + 1, sched["seen_add"]),
-                pool.submit(self.store.write_wave, "fetched", w, fetched_out),
-                pool.submit(self.store.write_wave, "counts", w,
-                            wave_counts.withColumn("wave", F.lit(w))),
+                pool.submit(_timed, "frontier", self.store.write_wave,
+                            "frontier", w + 1, next_frontier),
+                pool.submit(_timed, "seen", self.store.write_wave,
+                            "seen", w + 1, seen_out),
+                pool.submit(_timed, "disallowed", self.store.write_wave,
+                            "disallowed", w + 1, dis_out),
+                pool.submit(_timed, "bloom_absorb", self._absorb_seen_wave,
+                            w + 1, sched["seen_add"]),
+                pool.submit(_timed, "fetched", self.store.write_wave,
+                            "fetched", w, fetched_out),
+                pool.submit(_timed, "counts", self.store.write_wave,
+                            "counts", w, wave_counts.withColumn(
+                                "wave", F.lit(w))),
             ]
             for f in futs:
                 f.result()

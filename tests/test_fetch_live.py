@@ -177,3 +177,38 @@ def test_salted_fetch_live_http(spark, http_srv):
     assert by_path["r"]["response_url"].endswith("/a")
     assert by_path["missing"]["status_code"] == 404
     assert by_path["missing"]["has_web_exception"]
+
+
+def test_wave_engine_over_live_fetch_parity(spark, tmp_path):
+    """The full wave engine with fetcher= (no corpus join) must match the
+    serial reference oracle exactly — same order, same seen set."""
+    from abot_spark.crawler import WaveCrawler
+    from abot_spark.oracle.serial import SerialCrawler
+
+    fx = generate_web(n_domains=2, sections=2, leaves=2)
+    cfg = CrawlConfig(is_respect_robots_dot_text_enabled=False)
+    serial = SerialCrawler(fx, cfg).crawl("http://d0.example.com/")
+    c = WaveCrawler(spark, cfg, str(tmp_path / "crawl"), None,
+                    fetcher=corpus_fetcher(fx.page_map()))
+    st = c.crawl(["http://d0.example.com/"])
+    order = [r["url"] for r in
+             c.store.read_all("fetched", st.wave).orderBy("seq").collect()]
+    assert order == serial.crawl_order
+
+
+def test_wave_engine_live_http_crawl(spark, tmp_path, http_srv):
+    """A real end-to-end HTTP crawl: seed the localhost server, follow
+    its links through the decision pipeline, store extracted text."""
+    from abot_spark.crawler import WaveCrawler
+    from abot_spark.plans.fetch_live import HttpFetcher
+
+    cfg = CrawlConfig(is_respect_robots_dot_text_enabled=False)
+    c = WaveCrawler(spark, cfg, str(tmp_path / "live"), None,
+                    fetcher=HttpFetcher(cfg))
+    st = c.crawl([f"{http_srv}/"])
+    rows = {r["url"]: r for r in
+            c.store.read_all("fetched", st.wave).collect()}
+    assert f"{http_srv}/" in rows
+    # "/" links to /a -> fetched in wave 1 (gzip-decoded, text extracted)
+    assert f"{http_srv}/a" in rows
+    assert "compressed page body" in rows[f"{http_srv}/a"]["text"]

@@ -56,8 +56,12 @@ cfg = CrawlConfig(is_external_page_crawling_enabled=True,
                   # ~4 KB synthetic pages: larger Arrow batches amortize
                   # the per-batch python/Arrow overhead (batch ~= 16 MB)
                   arrow_max_records_per_batch=4096)
+# checkpoint store on tmpfs for the same reason as spark.local.dir: the
+# store is HDFS/S3/Iceberg on a real cluster (bandwidth scales with
+# executors); the sandbox's single rootfs disk does not.
 crawler = WaveCrawler(spark, cfg,
-                      tempfile.mkdtemp(prefix=f"abot-scale-{{cpus}}-"),
+                      tempfile.mkdtemp(prefix=f"abot-scale-{{cpus}}-",
+                                       dir=shm),
                       pages, None)
 t0 = time.monotonic()
 state = crawler.crawl(seeds, max_waves=1)   # one full wave over all pages
