@@ -449,6 +449,35 @@ def q_udf_link_extract(spark, sf_dir):
         .orderBy("url", "pos")
 
 
+def q_warc_ingest(spark, sf_dir):
+    """WARC source (sources/warc.py): documents → deterministic WARC
+    archives in the Common-Crawl per-record-gzip-member layout → read back
+    through the binaryFile + mapInPandas reader into the BASELINE pages
+    shape.  ``text`` must round-trip byte-identically through the S4
+    charset kernel; ``lang`` is the marker heuristic over the first 4000
+    chars; ``warc_ts`` parses the WARC-Date header."""
+    import datetime as dt
+    import tempfile
+
+    from abot_spark.sources.warc import read_warc, write_warc
+
+    rows = _docs(spark, sf_dir).select("doc_id", "text") \
+        .orderBy("doc_id").collect()
+    epoch = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    recs = [{
+        "url": f"http://w{r['doc_id'] % 20}.example.com/doc/{r['doc_id']}",
+        "ts": epoch + dt.timedelta(seconds=int(r["doc_id"])),
+        "html": r["text"].encode("utf-8"),
+        "content_type": "text/html; charset=utf-8",
+    } for r in rows]
+    warc_dir = tempfile.mkdtemp(prefix="abot-warc-q-")
+    n_shards = 8   # several archives -> several binaryFile tasks
+    for s in range(n_shards):
+        write_warc(recs[s::n_shards], f"{warc_dir}/part-{s}.warc.gz")
+    return read_warc(spark, f"{warc_dir}/*.warc.gz") \
+        .select("url", "warc_ts", "text", "lang").orderBy("url")
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal mapInPandas plumbing (decode stubbed; rows-only check)."""
     return extract_media_features(synth_media(_docs(spark, sf_dir))) \
@@ -485,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "sessionize": q_sessionize,
         "lineitem_pricing": q_lineitem_pricing,
+        "warc_ingest": q_warc_ingest,
         "udf_text_extract": q_udf_text_extract,
         "udf_link_extract": q_udf_link_extract,
         "media_features": q_media_features,
@@ -842,6 +872,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus""",
+        "warc_ingest": f"""
+            WITH s AS (
+              SELECT doc_id, text,
+                     {', '.join(
+                         expr.replace('lower(text)',
+                                      'lower(substr(text, 1, 4000))')
+                         + f' AS score_{k}'
+                         for k, expr in lang_score.items())}
+              FROM documents)
+            SELECT 'http://w' || (doc_id % 20) || '.example.com/doc/'
+                     || doc_id AS url,
+                   TIMESTAMP '2024-01-01' + to_seconds(doc_id) AS warc_ts,
+                   text,
+                   {lang_pred} AS lang
+            FROM s ORDER BY url""",
         "udf_text_extract": """
             SELECT doc_id, text AS extracted_text FROM documents
             ORDER BY doc_id""",
