@@ -243,22 +243,23 @@ class WaveCrawler:
     def _absorb_seen_wave(self, wave: int, seen_add: DataFrame | None = None
                           ) -> None:
         """Fold wave ``wave``'s seen appends into the live filter and
-        persist the snapshot (resume reads it back).  Wave deltas are
-        collected via Arrow (they are the *new* URLs of one wave, bounded
-        by budget x branching); full rebuilds go through the distributed
-        ``bloom_from_df`` path.  Pass ``seen_add`` (the cached wave delta)
-        to read off the cache instead of re-reading the parquet append."""
+        persist the snapshot (resume reads it back).  Both the per-wave
+        delta and the resume-time full rebuild go through the distributed
+        per-bucket partial-plane path (``absorb_into_bloom``) — the driver
+        never collects hashes, only ≤ m/8 bytes of planes.  Pass
+        ``seen_add`` (the cached wave delta) to read off the cache instead
+        of re-reading the parquet append."""
         if self._seen_bloom is None:
             return
-        import numpy as np
+        from abot_spark.functions.udfs import absorb_into_bloom
+
         src = (seen_add if seen_add is not None
                else self.store.read_wave("seen", wave))
-        pdf = src.select("url_hash").toPandas()
-        # the wave delta may carry in-wave duplicate rows (seen_add skips
-        # the distinct shuffle by design); np.unique here keeps n_added =
-        # unique keys so the filter's saturation accounting stays exact
-        self._seen_bloom.add_many(
-            np.unique(pdf["url_hash"].to_numpy(dtype=np.int64)))
+        # distributed insert: executors build per-bucket partial planes and
+        # the driver collects at most the filter's own size (m/8 bytes),
+        # never the wave's hashes — in-wave duplicate rows dedupe inside
+        # partial_planes (np.unique per bucket), keeping n_added exact
+        absorb_into_bloom(src, "url_hash", self._seen_bloom)
         self.store.save_bloom(self._seen_bloom, wave)
 
     # -- seeding (S1: StartCrawlRootPage, WebCrawler.cs:480-495) -------------
@@ -556,6 +557,10 @@ class WaveCrawler:
         crow = sched["cand_cache"].agg(
             F.max(F.col("budget_denied").cast("int")).alias("bd")).first()
         any_budget_denial = bool(crow["bd"])
+        # cand_cache now holds the decided rows; the pre-decision base cache
+        # has no consumer left — free ~one candidate-set of executor memory
+        # before the write jobs need it
+        sched["cand_base"].unpersist(False)
         _tick("admission_agg")
         # small waves (all of them while a crawl ramps up) write few rows:
         # merge the output partitions so later read_all unions stay at a
@@ -581,26 +586,31 @@ class WaveCrawler:
                 print(f"WAVETIME wave={w} write:{label}="
                       f"{time.monotonic() - ts:.2f}s", flush=True)
 
-        with ThreadPoolExecutor(max_workers=6) as pool:
+        # two-lane write pool: measured on this box, 6 concurrent Spark jobs
+        # at local[16] take MORE wall than running them serially (fair-share
+        # scheduling slices every job thin and the driver threads contend on
+        # the GIL for the Arrow collect inside bloom_absorb).  One lane runs
+        # the single heavy job (frontier = assign_seq shuffle + write), the
+        # other drains the cheap appends serially — 2 jobs in flight max.
+        def _light_lane():
+            _timed("seen", self.store.write_wave, "seen", w + 1, seen_out)
+            _timed("disallowed", self.store.write_wave,
+                   "disallowed", w + 1, dis_out)
+            _timed("fetched", self.store.write_wave, "fetched", w, fetched_out)
+            _timed("counts", self.store.write_wave, "counts", w,
+                   wave_counts.withColumn("wave", F.lit(w)))
+            _timed("bloom_absorb", self._absorb_seen_wave,
+                   w + 1, sched["seen_add"])
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
             futs = [
                 pool.submit(_timed, "frontier", self.store.write_wave,
                             "frontier", w + 1, next_frontier),
-                pool.submit(_timed, "seen", self.store.write_wave,
-                            "seen", w + 1, seen_out),
-                pool.submit(_timed, "disallowed", self.store.write_wave,
-                            "disallowed", w + 1, dis_out),
-                pool.submit(_timed, "bloom_absorb", self._absorb_seen_wave,
-                            w + 1, sched["seen_add"]),
-                pool.submit(_timed, "fetched", self.store.write_wave,
-                            "fetched", w, fetched_out),
-                pool.submit(_timed, "counts", self.store.write_wave,
-                            "counts", w, wave_counts.withColumn(
-                                "wave", F.lit(w))),
+                pool.submit(_light_lane),
             ]
             for f in futs:
                 f.result()
         sched["cand_cache"].unpersist(False)
-        sched["cand_base"].unpersist(False)
 
         _tick("wave_writes")
         # one aggregate for every next-frontier statistic the loop needs  # noqa: E501 (tick below)

@@ -61,16 +61,38 @@ def _as_u64(hashes) -> np.ndarray:
 
 
 class BloomFilter:
-    """Bitpacked Bloom filter over int64 keys, double-hashing probe scheme
-    (Kirsch & Mitzenmacher: g_i = h1 + i*h2 is FPR-equivalent to k
-    independent hashes)."""
+    """Bitpacked **bucketed** Bloom filter over int64 keys, double-hashing
+    probe scheme (Kirsch & Mitzenmacher: g_i = h1 + i*h2 is FPR-equivalent
+    to k independent hashes).
+
+    The bit array is split into ``n_buckets`` (power of two) equal slices;
+    a key's bucket is its raw low bits (``hash & (B-1)``) and all k probe
+    positions land inside that bucket's slice.  FPR is unchanged (xxhash64
+    keys spread uniformly, so each bucket carries ~n/B keys against m/B
+    bits), but insertion becomes *distributable with bounded transfer*:
+    a Spark partition holding one bucket's wave delta can build just that
+    bucket's partial plane (``partial_planes``), and the driver merge
+    collects at most ``B × m/(8B) = m/8`` bytes per wave — independent of
+    the wave's row count (vs collecting every new hash).  ``hash & (B-1)``
+    on the uint64 view equals Java's ``pmod``/``&`` on the signed long
+    (two's-complement low bits), so a JVM-side ``repartition(B, url_hash
+    & (B-1))`` co-locates exactly one bucket per partition key.
+
+    At 10^10+ seen-set scale the same layout lets the probe side page in
+    only the buckets a partition actually touches; here the whole array is
+    broadcast (16 MB at the 10M/1% default).
+    """
 
     def __init__(self, expected_items: int, fpp: float = 0.01,
-                 bits: np.ndarray | None = None):
-        m = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+                 bits: np.ndarray | None = None, n_buckets: int = 64):
+        assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be pow2"
+        m = max(64 * n_buckets,
+                int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
         # power-of-two bit count: the probe modulo becomes a mask (the
         # modulo dominated insert/probe cost); never worse than optimal-m FPR
         self.m_bits = 1 << (m - 1).bit_length()
+        self.n_buckets = n_buckets
+        self.mb_bits = self.m_bits // n_buckets    # slice size (pow2)
         # k from the target fpp (= optimal for the pre-rounding m); the
         # rounded-up m only lowers the realized FPR further
         self.k = max(1, round(-math.log2(fpp)))
@@ -86,17 +108,29 @@ class BloomFilter:
         h2 = _mix64(h ^ _MASK) | _U64(1)   # odd -> full-period stride
         return h1, h2
 
+    def bucket_of(self, hashes) -> np.ndarray:
+        return (_as_u64(hashes) & _U64(self.n_buckets - 1)).astype(np.int64)
+
+    def _global_pos(self, hashes, i: int) -> np.ndarray:
+        """Probe i's global bit position: bucket base + in-bucket offset."""
+        h1, h2 = self._probe_hashes(hashes)
+        base = _as_u64(self.bucket_of(hashes)) * _U64(self.mb_bits)
+        with np.errstate(over="ignore"):
+            return base + ((h1 + _U64(i) * h2) & _U64(self.mb_bits - 1))
+
     def add_many(self, hashes) -> None:
         if len(hashes) == 0:
             return
         # bool scatter + packbits beats bitwise_or.at ~10x (no per-element
         # read-modify-write); the transient bool plane is m_bits bytes
         h1, h2 = self._probe_hashes(hashes)
-        mask = _U64(self.m_bits - 1)
+        base = _as_u64(self.bucket_of(hashes)) * _U64(self.mb_bits)
+        mask = _U64(self.mb_bits - 1)
         plane = np.zeros(self.m_bits, dtype=bool)
         with np.errstate(over="ignore"):
             for i in range(self.k):
-                plane[((h1 + _U64(i) * h2) & mask).astype(np.int64)] = True
+                pos = base + ((h1 + _U64(i) * h2) & mask)
+                plane[pos.astype(np.int64)] = True
         self.bits |= np.packbits(plane, bitorder="little")
         self.n_added += len(hashes)
 
@@ -105,37 +139,90 @@ class BloomFilter:
         if len(hashes) == 0:
             return np.zeros(0, dtype=bool)
         h1, h2 = self._probe_hashes(hashes)
-        mask = _U64(self.m_bits - 1)
+        base = _as_u64(self.bucket_of(hashes)) * _U64(self.mb_bits)
+        mask = _U64(self.mb_bits - 1)
         ok = np.ones(len(h1), dtype=bool)
         with np.errstate(over="ignore"):
             for i in range(self.k):
-                pos = (h1 + _U64(i) * h2) & mask
+                pos = base + ((h1 + _U64(i) * h2) & mask)
                 byte = self.bits[(pos >> _U64(3)).astype(np.int64)]
                 ok &= ((byte >> (pos & _U64(7)).astype(np.uint8)) & 1).astype(bool)
         return ok
 
+    # -- distributed-insert surface -----------------------------------------
+
+    def partial_planes(self, hashes):
+        """Per-bucket partial planes for the keys at hand: yields
+        ``(bucket, packed_slice_bytes, n_unique)``.  The executor-side half
+        of the distributed absorb — transfer is ``mb_bits/8`` bytes per
+        *touched bucket*, not per key."""
+        if len(hashes) == 0:
+            return
+        arr = np.unique(np.asarray(hashes, dtype=np.int64))
+        buckets = self.bucket_of(arr)
+        order = np.argsort(buckets, kind="stable")
+        arr, buckets = arr[order], buckets[order]
+        mask = _U64(self.mb_bits - 1)
+        for b in np.unique(buckets):
+            keys = arr[buckets == b]
+            h1, h2 = self._probe_hashes(keys)
+            plane = np.zeros(self.mb_bits, dtype=bool)
+            with np.errstate(over="ignore"):
+                for i in range(self.k):
+                    plane[((h1 + _U64(i) * h2) & mask).astype(np.int64)] = True
+            yield int(b), np.packbits(plane, bitorder="little").tobytes(), \
+                len(keys)
+
+    def merge_bucket(self, bucket: int, packed: bytes) -> None:
+        mb8 = self.mb_bits // 8
+        self.bits[bucket * mb8:(bucket + 1) * mb8] |= np.frombuffer(
+            packed, dtype=np.uint8)
+
     def merge(self, other: "BloomFilter") -> "BloomFilter":
-        assert self.m_bits == other.m_bits and self.k == other.k
+        assert (self.m_bits == other.m_bits and self.k == other.k
+                and self.n_buckets == other.n_buckets)
         self.bits |= other.bits
         return self
 
     def merge_bytes(self, raw: bytes) -> "BloomFilter":
-        self.bits |= np.frombuffer(raw, dtype=np.uint8)
-        return self
+        other = BloomFilter.from_bytes(raw, self.expected_items, self.fpp)
+        return self.merge(other)
 
     # -- (de)serialization — the broadcast / sidecar-file payload ----------
+    #
+    # Self-describing header so a worker can rebuild the filter from the
+    # broadcast bytes alone: magic "ABF2", then uint32 n_buckets, uint64
+    # expected_items, float64 fpp (little-endian), then the bit array.
+
+    _MAGIC = b"ABF2"
+    _HDR = 4 + 4 + 8 + 8
+
     def to_bytes(self) -> bytes:
-        return self.bits.tobytes()
+        import struct
+
+        hdr = self._MAGIC + struct.pack(
+            "<IQd", self.n_buckets, self.expected_items, self.fpp)
+        return hdr + self.bits.tobytes()
 
     @classmethod
-    def from_bytes(cls, raw: bytes, expected_items: int,
-                   fpp: float = 0.01) -> "BloomFilter":
-        bf = cls(expected_items, fpp)
-        if len(raw) != len(bf.bits):
+    def from_bytes(cls, raw: bytes, expected_items: int | None = None,
+                   fpp: float | None = None) -> "BloomFilter":
+        import struct
+
+        if raw[:4] != cls._MAGIC:
+            raise ValueError("not a bloom sidecar payload (bad magic)")
+        n_buckets, exp, f = struct.unpack("<IQd", raw[4:cls._HDR])
+        if expected_items is not None and expected_items != exp:
             raise ValueError(
-                f"bloom sidecar is {len(raw)} bytes, expected {len(bf.bits)}"
-                " — expected_items/fpp changed between runs")
-        bf.bits = np.frombuffer(raw, dtype=np.uint8).copy()
+                f"bloom sidecar was built for expected_items={exp}, caller"
+                f" configured {expected_items} — config changed between runs")
+        bf = cls(exp, f, n_buckets=n_buckets)
+        body = raw[cls._HDR:]
+        if len(body) != len(bf.bits):
+            raise ValueError(
+                f"bloom sidecar is {len(body)} bytes, expected"
+                f" {len(bf.bits)} — expected_items/fpp changed between runs")
+        bf.bits = np.frombuffer(body, dtype=np.uint8).copy()
         return bf
 
 

@@ -247,33 +247,56 @@ def bloom_maybe_col(bloom_bc, expected_items: int, fpp: float,
     return _maybe(hash_col)
 
 
-def bloom_from_df(df, hash_col: str, expected_items: int, fpp: float):
-    """Distributed Bloom build: per-partition partial bit arrays
-    (``mapInPandas``) OR-merged on the driver.  The collect moves
-    ``num_partitions × m/8`` bytes — at 10^10-key scale the sidecars are
-    per-``bucket(url_hash)`` (each sized for one bucket's keys) and this
-    build runs per bucket; the merge logic is identical."""
+def absorb_into_bloom(df, hash_col: str, bloom):
+    """Distributed Bloom insert (T8 sidecar maintenance): repartition the
+    delta by the filter's bucket key (``hash & (B-1)`` — identical on the
+    JVM signed long and the numpy uint64 view, both two's-complement low
+    bits), build per-bucket partial planes executor-side
+    (:meth:`BloomFilter.partial_planes`), OR-merge on the driver.
+
+    Driver transfer is ≤ ``n_buckets × m/(8·n_buckets) = m/8`` bytes (the
+    filter's own size, 16 MB at the 10M/1% default) **independent of the
+    delta's row count** — the property that keeps the per-wave absorb off
+    the driver's critical path at 10^10-URL frontier scale, where a wave's
+    new-URL delta alone would be GBs as raw hashes."""
     import numpy as np
 
     from abot_spark.functions.sketches import BloomFilter
 
-    def _partial(batches):
-        bf = BloomFilter(expected_items, fpp)
-        n = 0
-        for pdf in batches:
-            arr = pdf[hash_col].to_numpy(dtype=np.int64)
-            bf.add_many(arr)
-            n += len(arr)
-        if n:
-            yield pd.DataFrame({"bits": [bf.to_bytes()], "n": [n]})
+    B = bloom.n_buckets
+    exp, fpp = bloom.expected_items, bloom.fpp
+    parts = df.select(hash_col).repartition(
+        B, F.expr(f"{hash_col} & {B - 1}"))
 
-    parts = df.select(hash_col).mapInPandas(_partial, "bits binary, n long") \
+    def _partial(batches):
+        proto = BloomFilter(exp, fpp, n_buckets=B)
+        chunks = [pdf[hash_col].to_numpy(dtype=np.int64) for pdf in batches]
+        if not chunks:
+            return
+        keys = np.concatenate(chunks)
+        if not len(keys):
+            return
+        out_b, out_bits, out_n = [], [], []
+        for b, packed, n in proto.partial_planes(keys):
+            out_b.append(b)
+            out_bits.append(packed)
+            out_n.append(n)
+        yield pd.DataFrame({"bucket": out_b, "bits": out_bits, "n": out_n})
+
+    rows = parts.mapInPandas(_partial, "bucket int, bits binary, n long") \
         .collect()
-    merged = BloomFilter(expected_items, fpp)
-    for r in parts:
-        merged.merge_bytes(bytes(r["bits"]))
-        merged.n_added += r["n"]
-    return merged
+    for r in rows:
+        bloom.merge_bucket(r["bucket"], bytes(r["bits"]))
+        bloom.n_added += r["n"]
+    return bloom
+
+
+def bloom_from_df(df, hash_col: str, expected_items: int, fpp: float):
+    """Distributed Bloom build from scratch (resume rebuild path) — see
+    :func:`absorb_into_bloom` for the transfer-bound mechanics."""
+    from abot_spark.functions.sketches import BloomFilter
+
+    return absorb_into_bloom(df, hash_col, BloomFilter(expected_items, fpp))
 
 
 def robots_allowed_col(path: Column, allow_rules: Column,

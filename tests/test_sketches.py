@@ -113,6 +113,38 @@ def test_bloom_from_df_matches_local(spark):
     assert dist.n_added == len(keys)
 
 
+def test_bloom_absorb_into_matches_local(spark):
+    """Distributed per-bucket absorb == local add_many, and the driver
+    transfer is plane-bounded (the scale contract of the wave absorb)."""
+    from abot_spark.functions.udfs import absorb_into_bloom
+
+    keys = _keys(30_000)
+    # duplicate rows in the delta (seen_add skips the distinct by design)
+    rows = [(int(k),) for k in keys] + [(int(k),) for k in keys[:500]]
+    df = spark.createDataFrame(rows, "url_hash long").repartition(8)
+    dist = BloomFilter(100_000, 0.01)
+    absorb_into_bloom(df, "url_hash", dist)
+    local = BloomFilter(100_000, 0.01)
+    local.add_many(keys)
+    assert dist.to_bytes() == local.to_bytes()
+    assert dist.n_added == len(keys)      # np.unique inside partial_planes
+
+
+def test_bloom_partial_planes_bucket_locality():
+    """Every probe position of a key lands inside its bucket's slice, so
+    merging a bucket's plane can never touch another bucket's bits."""
+    bf = BloomFilter(10_000, 0.01)
+    keys = _keys(2_000)
+    for b, packed, n in bf.partial_planes(keys):
+        bf.merge_bucket(b, packed)
+    ref = BloomFilter(10_000, 0.01)
+    ref.add_many(keys)
+    assert bf.to_bytes() == ref.to_bytes()
+    # bucket id is the signed low bits — matches JVM `url_hash & (B-1)`
+    assert (bf.bucket_of(np.array([-3], dtype=np.int64))[0]
+            == (-3) % bf.n_buckets)
+
+
 def test_bloom_maybe_col(spark):
     from pyspark.sql import functions as F
 
