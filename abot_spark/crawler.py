@@ -240,8 +240,8 @@ class WaveCrawler:
         bc = self.spark.sparkContext.broadcast(self._seen_bloom.to_bytes())
         return (bc, self.cfg.bloom_expected_items, self.cfg.bloom_fpp)
 
-    def _absorb_seen_wave(self, wave: int, seen_add: DataFrame | None = None
-                          ) -> None:
+    def _absorb_seen_wave(self, wave: int, seen_add: DataFrame | None = None,
+                          n_hint: int | None = None) -> None:
         """Fold wave ``wave``'s seen appends into the live filter and
         persist the snapshot (resume reads it back).  Both the per-wave
         delta and the resume-time full rebuild go through the distributed
@@ -253,13 +253,19 @@ class WaveCrawler:
             return
         from abot_spark.functions.udfs import absorb_into_bloom
 
+        if n_hint == 0:
+            # empty delta: nothing to absorb, but the per-wave snapshot
+            # must still exist for resume to reload
+            self.store.save_bloom(self._seen_bloom, wave)
+            return
         src = (seen_add if seen_add is not None
                else self.store.read_wave("seen", wave))
         # distributed insert: executors build per-bucket partial planes and
         # the driver collects at most the filter's own size (m/8 bytes),
         # never the wave's hashes — in-wave duplicate rows dedupe inside
         # partial_planes (np.unique per bucket), keeping n_added exact
-        absorb_into_bloom(src, "url_hash", self._seen_bloom)
+        absorb_into_bloom(src, "url_hash", self._seen_bloom,
+                          num_partitions=self._nparts)
         self.store.save_bloom(self._seen_bloom, wave)
 
     # -- seeding (S1: StartCrawlRootPage, WebCrawler.cs:480-495) -------------
@@ -535,28 +541,32 @@ class WaveCrawler:
         )
 
         _tick("schedule_build")
-        admitted = sched["admitted"].withColumn("wave", F.lit(w + 1)) \
-            .select([f.name for f in FRONTIER_SCHEMA.fields])
-        next_frontier = admitted
-        if deferred is not None:
-            next_frontier = next_frontier.unionByName(
-                deferred.withColumn("wave", F.lit(w + 1))
-                .select([f.name for f in FRONTIER_SCHEMA.fields]))
         # scheduling outputs belong to the wave they feed: frontier/seen/
         # disallowed land under wave=w+1 (the seed pass owns wave=0).
-        # materialize the shared decided-candidate cache once (the same agg
-        # reads off the A3 budget-denial latch probe), then run the three
-        # independent appends as concurrent Spark jobs — they only read the
-        # cache, so pipelining them hides 2 job latencies
         # materialize the candidate base FIRST: the admission plan forks
         # into sibling stages (bloom maybe/fresh, known/fresh) that would
         # otherwise race to fill the cache concurrently, re-running the
         # link UDF per branch for the same partitions
         sched["cand_base"].count()
         _tick("cand_base_ckpt")
+        # ONE aggregate materializes the decided cache and reads off the A3
+        # latch plus every output's row count — the counts let each
+        # downstream write skip its full-cache scan when its output is
+        # empty, and let seq assignment pick the volume-appropriate plan
         crow = sched["cand_cache"].agg(
-            F.max(F.col("budget_denied").cast("int")).alias("bd")).first()
+            F.max(F.col("budget_denied").cast("int")).alias("bd"),
+            F.sum(F.col("admitted").cast("int")).alias("n_adm"),
+            F.sum(F.col("_out_seen_add").cast("int")).alias("n_sa"),
+            F.sum(F.col("_out_disallowed").cast("int")).alias("n_dis"),
+        ).first()
         any_budget_denial = bool(crow["bd"])
+        n_adm = int(crow["n_adm"] or 0)
+        n_seen_add = int(crow["n_sa"] or 0)
+        n_dis = int(crow["n_dis"] or 0)
+        # retry candidates live outside cand_cache; counting them is a
+        # cheap scan of the extracted localCheckpoint (only when retries
+        # are configured at all)
+        n_retry_cand = retries.count() if retries is not None else 0
         # cand_cache now holds the decided rows; the pre-decision base cache
         # has no consumer left — free ~one candidate-set of executor memory
         # before the write jobs need it
@@ -567,9 +577,26 @@ class WaveCrawler:
         # sane file count.  n_processed is this wave's volume; candidates
         # are bounded by volume x branching.
         out_parts = self._nparts if n_processed + n_retried >= 2000 else 2
-        next_frontier = next_frontier.coalesce(out_parts)
-        seen_out = sched["seen_add"].coalesce(out_parts)
-        dis_out = sched["disallowed"].coalesce(out_parts)
+        n_next_new = n_adm + n_retry_cand
+        if n_next_new == 0:
+            admitted = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        else:
+            admitted = sched["seq_assigned"](n_next_new) \
+                .withColumn("wave", F.lit(w + 1)) \
+                .select([f.name for f in FRONTIER_SCHEMA.fields]) \
+                .coalesce(out_parts)
+        next_frontier = admitted
+        if deferred is not None:
+            next_frontier = next_frontier.unionByName(
+                deferred.withColumn("wave", F.lit(w + 1))
+                .select([f.name for f in FRONTIER_SCHEMA.fields])
+                .coalesce(out_parts))
+        seen_out = (sched["seen_add"].coalesce(out_parts) if n_seen_add
+                    else self.spark.createDataFrame(
+                        [], "url_hash long, url string"))
+        dis_out = (sched["disallowed"].coalesce(out_parts) if n_dis
+                   else self.spark.createDataFrame(
+                       [], "url string, reason string, wave_ts_ms long"))
         # counter updates (A1/A2); processed/retried totals came from the
         # politeness stats aggregate
         wave_counts = due.filter(~F.col("is_retry")).groupBy("domain") \
@@ -600,7 +627,7 @@ class WaveCrawler:
             _timed("counts", self.store.write_wave, "counts", w,
                    wave_counts.withColumn("wave", F.lit(w)))
             _timed("bloom_absorb", self._absorb_seen_wave,
-                   w + 1, sched["seen_add"])
+                   w + 1, sched["seen_add"], n_seen_add)
 
         with ThreadPoolExecutor(max_workers=2) as pool:
             futs = [
@@ -613,12 +640,17 @@ class WaveCrawler:
         sched["cand_cache"].unpersist(False)
 
         _tick("wave_writes")
-        # one aggregate for every next-frontier statistic the loop needs  # noqa: E501 (tick below)
-        nrow = self.store.read_wave("frontier", w + 1).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("is_retry").cast("int")).alias("nr"),
-            F.min("not_before_ms").alias("min_due"),
-        ).first()
+        # one aggregate for every next-frontier statistic the loop needs —
+        # skipped entirely when the admission counts already told us the
+        # next frontier is empty (last wave of every crawl)  # noqa: E501
+        if n_next_new == 0 and n_deferred == 0:
+            nrow = {"n": 0, "nr": 0, "min_due": None}
+        else:
+            nrow = self.store.read_wave("frontier", w + 1).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("is_retry").cast("int")).alias("nr"),
+                F.min("not_before_ms").alias("min_due"),
+            ).first()
         n_frontier_next = nrow["n"]
         state.frontier_next = n_frontier_next
         n_new_retries = nrow["nr"] or 0

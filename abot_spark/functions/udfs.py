@@ -247,7 +247,7 @@ def bloom_maybe_col(bloom_bc, expected_items: int, fpp: float,
     return _maybe(hash_col)
 
 
-def absorb_into_bloom(df, hash_col: str, bloom):
+def absorb_into_bloom(df, hash_col: str, bloom, num_partitions: int | None = None):
     """Distributed Bloom insert (T8 sidecar maintenance): repartition the
     delta by the filter's bucket key (``hash & (B-1)`` — identical on the
     JVM signed long and the numpy uint64 view, both two's-complement low
@@ -265,8 +265,14 @@ def absorb_into_bloom(df, hash_col: str, bloom):
 
     B = bloom.n_buckets
     exp, fpp = bloom.expected_items, bloom.fpp
+    # hash-partitioning on the bucket key sends ALL rows of a bucket to one
+    # partition even when P < B, so the m/8 total-transfer bound holds at
+    # any partition count — use the session's parallelism instead of B
+    # partitions (B tiny tasks serialize into task-latency rounds at low
+    # core counts)
+    P = min(B, num_partitions) if num_partitions else B
     parts = df.select(hash_col).repartition(
-        B, F.expr(f"{hash_col} & {B - 1}"))
+        P, F.expr(f"{hash_col} & {B - 1}"))
 
     def _partial(batches):
         proto = BloomFilter(exp, fpp, n_buckets=B)

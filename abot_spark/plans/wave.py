@@ -80,15 +80,34 @@ ORD = ["parent_seq", "kind", "pos"]  # serial enqueue order within a wave
 # seq assignment — scalable zipWithIndex (SURVEY.md §4.3)
 # ---------------------------------------------------------------------------
 
+# below this row count a single-partition total sort is cheaper than the
+# two-phase pattern (repartitionByRange runs a separate SAMPLING job over
+# the input before the shuffle — two scans + a shuffle + an offsets join
+# vs one coalesce + one in-memory sort of <~60 MB)
+SMALL_SEQ_ROWS = 200_000
+
+
 def assign_seq(df: DataFrame, order_cols: list[str], start: int,
-               num_partitions: int = 32, seq_col: str = "seq") -> DataFrame:
+               num_partitions: int = 32, seq_col: str = "seq",
+               known_count: int | None = None) -> DataFrame:
     """Deterministic global rank without a single-partition window.
 
     repartitionByRange on the (total) order key → per-partition local
     row_number → tiny per-partition count aggregate → broadcast cumulative
     offsets.  The rank depends only on the total order, not on where the
     range partitioner draws boundaries.
+
+    When the caller already knows the input's row count (``known_count``)
+    and it is small, the range-sampling job is skipped for a single-task
+    total sort — same rank, one scan instead of two.  Large inputs always
+    take the two-phase path (never a single-partition window on an
+    unbounded set).
     """
+    if known_count is not None and known_count <= SMALL_SEQ_ROWS:
+        w_all = Window.orderBy(*order_cols)
+        return df.coalesce(1).withColumn(
+            seq_col,
+            (F.lit(start) - 1 + F.row_number().over(w_all)).cast("long"))
     parted = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
     parted = parted.withColumn("_pid", F.spark_partition_id())
     w_local = Window.partitionBy("_pid").orderBy(*order_cols)
@@ -622,12 +641,29 @@ def schedule_wave(
     else:
         cand = cand.withColumn("iterated", F.lit(True))
 
+    # output-membership flags, computed INTO the cache so one aggregate
+    # over the cached rows can tell the caller how many rows each output
+    # carries (empty outputs then skip their write/scan jobs entirely —
+    # sparse waves, i.e. most waves of a converging crawl, stop paying
+    # full-cache scans for zero-row appends)
+    cand = cand.withColumn(
+        "_out_seen_add",
+        (((F.col("kind") == 1) & F.col("iterated"))
+         | ((F.col("kind") == 0) & F.col("admitted")))
+        & ~F.col("_in_seen"))
+    cand = cand.withColumn(
+        "_out_disallowed",
+        F.col("iterated") & ~F.col("is_known") & ~F.col("dup_skipped")
+        & ~silent_external & F.lit(not latched)
+        & (~F.col("robots_ok") | F.col("static_reason").isNotNull()
+           | F.col("domain_cap_hit")))
+
     # several downstream consumers (admitted / seen_add / disallowed /
     # latch probe) — materialize once
     cand = cand.cache()
 
     # -- outputs ------------------------------------------------------------
-    admitted = cand.filter("admitted").select(
+    admitted_unseq = cand.filter("admitted").select(
         "url", "url_hash", "domain", "path",
         F.col("parent_url"), "parent_seq", "depth", "kind", "pos",
         "is_retry", "retry_count", "redirected_from", "redirect_position",
@@ -636,11 +672,14 @@ def schedule_wave(
         F.lit(False).alias("is_root"),
     )
     if retries is not None:
-        admitted = admitted.unionByName(
+        admitted_unseq = admitted_unseq.unionByName(
             retries.withColumn("is_root", F.lit(False))
-            .select(*admitted.columns))
-    admitted = assign_seq(admitted, ORD + ["url_hash"], next_seq,
-                          num_partitions=num_partitions)
+            .select(*admitted_unseq.columns))
+
+    def seq_assigned(known_count: int | None = None) -> DataFrame:
+        return assign_seq(admitted_unseq, ORD + ["url_hash"], next_seq,
+                          num_partitions=num_partitions,
+                          known_count=known_count)
 
     # AddKnownUri for every *iterated* link (:1153) + AddIfNew for admitted
     # redirect children (Scheduler.Add path; denied redirect children are
@@ -650,22 +689,9 @@ def schedule_wave(
     # full shuffle of the novel-link set every wave.  Matches the
     # reference's set contract (AddIfNew is idempotent) at the storage
     # layer's cost of a few duplicate hash rows per wave.
-    seen_add = cand.filter(
-        (((F.col("kind") == 1) & F.col("iterated"))
-         | ((F.col("kind") == 0) & F.col("admitted")))
-        & ~F.col("_in_seen")   # membership already exact -> no re-anti-join
-    ).select("url_hash", "url")
+    seen_add = cand.filter("_out_seen_add").select("url_hash", "url")
 
-    disallowed = cand.filter(
-        F.col("iterated") & ~F.col("is_known") & ~F.col("dup_skipped")
-        & ~silent_external & F.lit(not latched)
-        & (
-            ~F.col("robots_ok")
-            | F.col("static_reason").isNotNull()
-            | (F.col("robots_ok") & F.col("static_reason").isNull()
-               & F.col("domain_cap_hit"))
-        )
-    ).select(
+    disallowed = cand.filter("_out_disallowed").select(
         "url",
         F.when(
             ~F.col("robots_ok"),
@@ -684,9 +710,13 @@ def schedule_wave(
 
     # A3 latch probe (any budget_denied row) is the caller's to read off
     # cand_cache — bundled with the cache-materializing aggregate so it
-    # costs no extra job
+    # costs no extra job.  ``admitted`` is pre-built with the generic
+    # two-phase assign_seq; a caller that learns the admitted row count
+    # first (the wave loop's admission aggregate) calls ``seq_assigned(n)``
+    # instead to pick the cheaper seq plan for the actual volume.
     return {
-        "admitted": admitted,
+        "admitted": seq_assigned(),
+        "seq_assigned": seq_assigned,
         "seen_add": seen_add,
         "disallowed": disallowed,
         "cand_cache": cand,
