@@ -10,8 +10,9 @@ equivalents in ``__spark_entry__``):
 - simhash:  b-bit signature; bit j comes from the parity of the j-th hex
             char of md5(token) (a deterministic ±1 projection identical in
             both engines); Hamming-near pairs via same-band grouping.
-- ngram-jaccard: 3-word shingle explode → pair join on shingle →
-            |A∩B| / (|A|+|B|-|A∩B|).
+- ngram-jaccard: 3-word shingle inverted index (one groupBy) → in-array
+            (i<j) pair expansion per posting list → |A∩B| / (|A|+|B|-|A∩B|);
+            df-capped posting lists bound per-bucket pair fan-out.
 
 Scale notes (100 TB corpus):
 - every family is a map-side transform + one groupBy/join on a compact key
@@ -145,19 +146,32 @@ def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
     n_docs = documents.count()
     exploded = documents.select(
         "doc_id", F.explode(word_shingles(F.col("text"), shingle_n))
-        .alias("shingle")).cache()  # feeds df-prune, sizes, and both join sides
+        .alias("shingle"))
     df_cap = int(n_docs * max_df)
-    common = exploded.groupBy("shingle") \
-        .agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > df_cap) \
-        .select("shingle")
-    pruned = exploded.join(F.broadcast(common), "shingle", "left_anti").cache()
-    sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = pruned.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = pruned.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    # inverted index in ONE shuffle: shingle -> sorted doc list; df-pruning
+    # (boilerplate shingles) is a filter on the aggregated list size, so no
+    # separate df pass and no second copy of the exploded rows shuffles.
+    # (doc_id, shingle) rows are unique (word_shingles is distinct), so the
+    # list size IS the document frequency.
+    kept = exploded.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ds")) \
+        .filter(F.size("ds") <= F.lit(df_cap)) \
+        .cache()  # feeds both doc sizes and pair expansion
+    # per-doc shingle count over the PRUNED vocabulary (jaccard denominators)
+    sizes = kept.select(F.explode("ds").alias("doc_id")) \
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # expand each posting list to its (i < j) pairs JVM-side; per-list pair
+    # count is bounded by df_cap^2/2 by the prune above, so no single
+    # bucket can blow up a task (skew guard at scale)
+    pairs = kept.filter(F.size("ds") > 1).select(F.explode(F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            )))).alias("p")).select("p.doc_a", "p.doc_b")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_common"))
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
                    .withColumnRenamed("sz", "sz_a"), "doc_a")
