@@ -904,7 +904,40 @@ def oracle_sql() -> dict[str, str]:
                        || doc_id || '?q=1' AS link
               FROM f)
             ORDER BY url, pos""",
-        # media_features: mapInPandas byte-level decode -> rows-only check
+        # media_features: the decode stub is deterministic (byte-histogram
+        # mean), so even the binary path has an exact SQL oracle — bytes
+        # are recovered in DuckDB by hex-expanding the blob.
+        "media_features": """
+            WITH m AS (
+              SELECT doc_id,
+                     doc_id % 3 = 0 AS png,
+                     CASE WHEN doc_id % 3 = 0 THEN encode(text)
+                          ELSE encode(substr(text, 1, 16)) END AS body
+              FROM documents
+            ), b AS (
+              SELECT doc_id, png, body, octet_length(body) AS blen,
+                     COALESCE(list_sum(list_transform(
+                       generate_series(1, octet_length(body)),
+                       i -> 16 * (strpos('0123456789ABCDEF',
+                                         substr(hex(body), 2*i-1, 1)) - 1)
+                          + (strpos('0123456789ABCDEF',
+                                    substr(hex(body), 2*i, 1)) - 1))),
+                       0) AS bsum
+              FROM m
+            )
+            SELECT doc_id,
+                   CASE WHEN png THEN 'image/png'
+                        ELSE 'application/octet-stream' END AS media_type,
+                   CAST(CASE WHEN png THEN 8 + blen ELSE blen END
+                        AS BIGINT) AS n_bytes,
+                   CASE WHEN png THEN TRUE
+                        ELSE substr(hex(body), 1, 8) = '52494646'
+                        END AS is_decodable,
+                   CASE WHEN png THEN (425.0 + bsum) / (8 + blen)
+                        WHEN substr(hex(body), 1, 8) = '52494646'
+                          THEN CAST(bsum AS DOUBLE) / blen
+                        ELSE NULL END AS feature_mean
+            FROM b ORDER BY doc_id""",
     }
 
 

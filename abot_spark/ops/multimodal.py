@@ -59,8 +59,7 @@ def extract_media_features(media_df: DataFrame) -> DataFrame:
                 out["media_type"].append(mtype)
                 out["n_bytes"].append(len(data))
                 out["is_decodable"].append(dec["ok"])
-                out["feature_mean"].append(
-                    round(dec["mean"], 4) if dec["ok"] else None)
+                out["feature_mean"].append(dec["mean"] if dec["ok"] else None)
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(batches, FEATURE_SCHEMA)
