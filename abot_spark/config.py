@@ -52,6 +52,11 @@ class CrawlConfig:
     is_send_cookies_enabled: bool = False
     is_ssl_certificate_validation_enabled: bool = True
     is_respect_url_named_anchor_or_hashbang_enabled: bool = False
+    # parser backend, like the reference's HAP vs AngleSharp choice
+    # (Abot/Core/Parsers/AngleSharpHyperLinkParser.cs:87-106): "scanner"
+    # (regex single-pass, fast path) or "parser" (stdlib html.parser);
+    # both pass the same HyperlinkParserTest matrix
+    link_parser_backend: str = "scanner"
     configuration_extensions: dict[str, str] = field(default_factory=dict)
 
     # -- politeness ---------------------------------------------------------

@@ -31,6 +31,42 @@ from urllib.parse import urljoin, urlsplit, urlunsplit
 
 _DEFAULT_PORTS = {"http": 80, "https": 443}
 
+_HOST_RE_FAST = __import__("re").compile(r"[a-z0-9.-]+\Z")
+
+
+def _fast_canonical(url: str) -> str | None:
+    """Return ``url`` unchanged iff it is *provably already canonical* —
+    the dominant case in link batches at scale (most extracted hrefs are
+    clean absolute http(s) URLs).  Anything uncertain returns ``None`` and
+    falls through to the full parse; exact parity with the slow path is
+    property-tested (tests/test_urls.py::test_fast_canonical_parity).
+    """
+    if url.startswith("http://"):
+        rest = url[7:]
+    elif url.startswith("https://"):
+        rest = url[8:]
+    else:
+        return None
+    if "\t" in url or "\n" in url or "\r" in url or "#" in url:
+        return None  # urlsplit strips tab/nl/cr; '#' starts a fragment
+    slash = rest.find("/")
+    if slash < 0:
+        host, path = rest, ""
+    else:
+        host, path = rest[:slash], rest[slash:]
+    if not host or not _HOST_RE_FAST.match(host):
+        return None  # uppercase/port/userinfo/IPv6/empty -> slow path
+    if not path:
+        return url + "/"  # empty http(s) path normalizes to "/"
+    q = path.find("?")
+    if q >= 0:
+        if q == len(path) - 1:
+            return None  # bare trailing "?" is dropped by the slow path
+        path = path[:q]
+    if "/." in path:
+        return None  # may contain "."/".." segments -> slow path
+    return url
+
 
 def strip_fragment(href: str) -> str:
     """``hrefValue.Split('#')[0]`` (HyperLinkParser.cs:192-194)."""
@@ -75,6 +111,15 @@ def canonicalize(url: str) -> str | None:
     url = url.strip()
     if not url:
         return None
+    fast = _fast_canonical(url)
+    if fast is not None:
+        return fast
+    return _canonicalize_slow(url)
+
+
+def _canonicalize_slow(url: str) -> str | None:
+    """Full parse path of :func:`canonicalize` (also the parity oracle for
+    ``_fast_canonical`` in tests)."""
     try:
         parts = urlsplit(url)
     except ValueError:
@@ -142,6 +187,9 @@ def absolutize(base_url: str, href: str, respect_fragment: bool = False) -> str 
     if href == "" and not respect_fragment:
         # ``new Uri(base, "")`` resolves to the base itself
         return canonicalize(base_url)
+    fast = _fast_canonical(href)
+    if fast is not None:
+        return fast  # clean absolute href: skip scheme-sniff + re-parse
     try:
         href_scheme = urlsplit(href).scheme
     except ValueError:

@@ -3,6 +3,8 @@ commented out in the fork but contract-defining; line cites per test)."""
 
 from __future__ import annotations
 
+from dataclasses import replace
+
 from abot_spark.config import CrawlConfig
 from abot_spark.functions.link_extract import get_links
 
@@ -11,7 +13,16 @@ CFG = CrawlConfig()
 
 
 def links(html, page=PAGE, cfg=CFG, header=None, clean=None):
-    return get_links(html, page, cfg, x_robots_tag_header=header, clean_url_func=clean)
+    """Run the whole matrix through BOTH parser backends (T2 contract:
+    two backends, one semantics — HAP vs AngleSharp in the reference)."""
+    out = {}
+    for backend in ("scanner", "parser"):
+        c = replace(cfg, link_parser_backend=backend)
+        out[backend] = get_links(
+            html, page, c, x_robots_tag_header=header, clean_url_func=clean)
+    assert out["scanner"] == out["parser"], \
+        f"backend divergence: {out['scanner']} != {out['parser']}"
+    return out["scanner"]
 
 
 def test_anchor_tags():  # :36-44
@@ -192,3 +203,53 @@ def test_link_rel_canonical_after_anchors():  # :555-563
         '<body><a href="http://a.com/page2"></a></body></html>'
     )
     assert links(html) == ["http://a.com/page2", "http://a.com/page1"]
+
+
+def test_backend_differential_fuzz():
+    """Scanner backend == html.parser backend on generated semi-realistic
+    html (comments, script/style CDATA, self-closing, entities, quoting
+    styles, nofollow, base/meta)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from abot_spark.functions.link_extract import parse_html, scan_html
+
+    href = st.sampled_from(
+        ["http://x.com/a", "/rel/p.html", "b.html", "a&amp;b.html",
+         "HTTP://UP.COM/", "  ", "", "x.html#frag", "mailto:a@b.c",
+         "http://x.com/?q=1&r=2"])
+    quote = st.sampled_from(['"{}"', "'{}'", "{}"])
+    rel = st.sampled_from(["", ' rel="nofollow"', " rel=canonical",
+                           ' REL="NOFOLLOW"', " rel='author'"])
+    tag = st.sampled_from(["a", "area", "link", "A", "AREA"])
+    close = st.sampled_from([">", " />", "></a>", ">text</a>"])
+
+    @st.composite
+    def element(draw):
+        kind = draw(st.integers(0, 6))
+        if kind == 0:
+            return f"<!-- <a href='{draw(href)}'> -->"
+        if kind == 1:
+            return f"<script>var a = \"<a href='{draw(href)}'>\";</script>"
+        if kind == 2:
+            return f"<style>a {{ background: url({draw(href)}) }}</style>"
+        if kind == 3:
+            return f"<base href={draw(quote).format(draw(href))}>"
+        if kind == 4:
+            return ("<meta name=robots content="
+                    f"{draw(quote).format(draw(st.sampled_from(['index', 'nofollow', 'none', 'INDEX,FOLLOW'])))}>")
+        h = draw(quote).format(draw(href))
+        return f"<{draw(tag)} href={h}{draw(rel)}{draw(close)}"
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(element(), max_size=8), st.booleans(), st.booleans())
+    def check(parts, respect_nofollow, respect_meta):
+        html = "<html><body>" + "".join(parts) + "</body></html>"
+        cfg = CFG.with_(
+            is_respect_anchor_rel_no_follow_enabled=respect_nofollow,
+            is_respect_meta_robots_no_follow_enabled=respect_meta)
+        a = get_links(html, PAGE, replace(cfg, link_parser_backend="scanner"))
+        b = get_links(html, PAGE, replace(cfg, link_parser_backend="parser"))
+        assert a == b, html
+
+    check()

@@ -79,3 +79,49 @@ def test_strip_fragment_and_dot_segments():
     assert remove_dot_segments("/a/b/../c") == "/a/c"
     assert remove_dot_segments("/a/./b") == "/a/b"
     assert remove_dot_segments("/../x") == "/x"
+
+
+def test_fast_canonical_parity():
+    """_fast_canonical must return either None (defer) or exactly what the
+    full parse would produce — across a grammar of tricky shapes."""
+    from abot_spark.urls import _canonicalize_slow, _fast_canonical
+
+    hosts = ["a.com", "A.com", "a-b.c0m", "a.com:80", "a.com:8080",
+             "user@a.com", "[::1]", "a_b.com", "", "a.com."]
+    paths = ["", "/", "/x", "/x/y.html", "/x//y", "/./x", "/x/../y",
+             "/x/.", "/x%20y", "/x;p", "/x\\y", "/x?", "/x?q=1", "/x?a=b&c",
+             "/x#f", "/x?q#f", "/X/Y", "/x ", "/x\ty"]
+    schemes = ["http://", "https://", "HTTP://", "ftp://", ""]
+    checked = fast_hits = 0
+    for s in schemes:
+        for h in hosts:
+            for p in paths:
+                u = f"{s}{h}{p}"
+                f = _fast_canonical(u)
+                checked += 1
+                if f is not None:
+                    fast_hits += 1
+                    assert f == _canonicalize_slow(u), u
+    assert checked == len(schemes) * len(hosts) * len(paths)
+    assert fast_hits > 50  # the fast path actually engages
+
+
+def test_fast_canonical_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from abot_spark.urls import _canonicalize_slow, _fast_canonical
+
+    url_chars = st.text(
+        alphabet="abcXYZ019.-_/:?#@%&=;~[] \t\\", max_size=40)
+
+    @settings(max_examples=500, deadline=None)
+    @given(prefix=st.sampled_from(["http://", "https://", "http:/", ""]),
+           rest=url_chars)
+    def check(prefix, rest):
+        u = prefix + rest
+        f = _fast_canonical(u)
+        if f is not None:
+            assert f == _canonicalize_slow(u), repr(u)
+
+    check()
