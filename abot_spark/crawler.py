@@ -318,7 +318,8 @@ class WaveCrawler:
             .withColumn("wave", F.lit(0))
         # one cache-materializing aggregate: admitted count (= frontier 0
         # rows; no retries/deferrals exist at seed time) + A3 latch probe
-        sched["cand_base"].count()  # fill the base before the plan forks
+        if sched["cand_base"] is not None:
+            sched["cand_base"].count()  # fill the base before the plan forks
         crow = sched["cand_cache"].agg(
             F.sum(F.col("admitted").cast("int")).alias("n"),
             F.max(F.col("budget_denied").cast("int")).alias("bd")).first()
@@ -340,7 +341,8 @@ class WaveCrawler:
             for f in futs:
                 f.result()
         sched["cand_cache"].unpersist(False)
-        sched["cand_base"].unpersist(False)
+        if sched["cand_base"] is not None:
+            sched["cand_base"].unpersist(False)
         state.next_seq = n
         state.budget_used = n
         state.latched = bool(crow["bd"])
@@ -439,14 +441,22 @@ class WaveCrawler:
         w = state.wave
         import os as _os
         _timing = _os.environ.get("ABOT_WAVE_TIMING")
-        _last = [time.monotonic()]
+
+        def _cpu_jiffies() -> float:
+            # machine-wide CPU-seconds burned (user+nice+system), for
+            # per-stage CPU attribution under ABOT_WAVE_TIMING
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            return sum(int(x) for x in parts[1:4]) / _os.sysconf("SC_CLK_TCK")
+
+        _last = [time.monotonic(), _cpu_jiffies() if _timing else 0.0]
 
         def _tick(label: str) -> None:
             if _timing:
-                now = time.monotonic()
-                print(f"WAVETIME wave={w} {label}={now - _last[0]:.2f}s",
-                      flush=True)
-                _last[0] = now
+                now, cpu = time.monotonic(), _cpu_jiffies()
+                print(f"WAVETIME wave={w} {label}={now - _last[0]:.2f}s"
+                      f" cpu={cpu - _last[1]:.0f}s", flush=True)
+                _last[0], _last[1] = now, cpu
 
         # C3 politeness: per-domain quota for this wave + simulated pacing
         delays = self._effective_delays()
@@ -547,7 +557,8 @@ class WaveCrawler:
         # into sibling stages (bloom maybe/fresh, known/fresh) that would
         # otherwise race to fill the cache concurrently, re-running the
         # link UDF per branch for the same partitions
-        sched["cand_base"].count()
+        if sched["cand_base"] is not None:
+            sched["cand_base"].count()
         _tick("cand_base_ckpt")
         # ONE aggregate materializes the decided cache and reads off the A3
         # latch plus every output's row count — the counts let each
@@ -570,7 +581,8 @@ class WaveCrawler:
         # cand_cache now holds the decided rows; the pre-decision base cache
         # has no consumer left — free ~one candidate-set of executor memory
         # before the write jobs need it
-        sched["cand_base"].unpersist(False)
+        if sched["cand_base"] is not None:
+            sched["cand_base"].unpersist(False)
         _tick("admission_agg")
         # small waves (all of them while a crawl ramps up) write few rows:
         # merge the output partitions so later read_all unions stay at a

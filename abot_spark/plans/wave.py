@@ -445,14 +445,19 @@ def schedule_wave(
         bc, n_exp, fpp = seen_bloom
         cand = cand.withColumn(
             "_maybe", bloom_maybe_col(bc, n_exp, fpp, F.col("url_hash")))
-    # The plan forks below (bloom maybe/fresh, known/fresh dedup) and each
-    # fork re-executes its lineage — which contains the link-extraction UDF
-    # and explode.  Cache the candidate base ONCE so every branch reads the
+    # The bloom path forks the plan (maybe/fresh branches) and each fork
+    # re-executes its lineage — which contains the link-extraction UDF and
+    # explode.  Cache the candidate base ONCE so every branch reads the
     # materialized rows instead of re-running the UDF per branch.  Caching
     # it ALREADY hash-partitioned on url_hash lets the in-wave dup window
     # and the seen join both reuse that clustering — the wide candidate
     # rows shuffle once into the cache instead of once per consumer.
-    cand_base = cand.repartition(num_partitions, "url_hash").cache()
+    # Without the bloom fork the lineage stays linear and the decided
+    # cache below is the only materialization needed — skip this one
+    # (saves a full cache build + scan per wave on the no-bloom path).
+    cand = cand.repartition(num_partitions, "url_hash")
+    forked = seen is not None and seen_bloom is not None
+    cand_base = cand.cache() if forked else cand
     cand = cand_base
 
     if seen is not None:
@@ -720,5 +725,7 @@ def schedule_wave(
         "seen_add": seen_add,
         "disallowed": disallowed,
         "cand_cache": cand,
-        "cand_base": cand_base,   # unpersist with cand_cache after writes
+        # None when the plan didn't fork (no bloom): nothing to pre-fill
+        # or unpersist — the decided cache is the only materialization
+        "cand_base": cand_base if forked else None,
     }

@@ -27,6 +27,32 @@ WORKER = r"""
 import json, os, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+
+
+def probe_host(n_procs=None, secs=1.5):
+    # busy-loop throughput probe: the sandbox shares its host and runs at
+    # visibly different effective speeds minute to minute (hypervisor
+    # steal / frequency).  Bracketing each measured wave with this probe
+    # lets the report show WHICH reps ran on a degraded host.
+    import multiprocessing as mp
+
+    def burn(q, secs):
+        t0 = time.perf_counter(); n = 0
+        while time.perf_counter() - t0 < secs:
+            for _ in range(10000):
+                n += 1
+        q.put(n)
+
+    k = n_procs or os.cpu_count()
+    q = mp.Queue()
+    ps = [mp.Process(target=burn, args=(q, secs)) for _ in range(k)]
+    [p.start() for p in ps]
+    tot = sum(q.get() for _ in ps)
+    [p.join() for p in ps]
+    return tot / secs
+
+
+probe_before = probe_host()
 from pyspark.sql import SparkSession
 from abot_spark.config import CrawlConfig
 from abot_spark.crawler import WaveCrawler
@@ -67,8 +93,12 @@ t0 = time.monotonic()
 state = crawler.crawl(seeds, max_waves=1)   # one full wave over all pages
 total = time.monotonic() - t0
 m = state.metrics[0]
+spark.stop()
+probe_after = probe_host()
 print(json.dumps({{"cpus": cpus, "pages": m["due"],
-                  "wave_ms": m["wall_ms"], "total_s": round(total, 2)}}))
+                  "wave_ms": m["wall_ms"], "total_s": round(total, 2),
+                  "probe_before": probe_before,
+                  "probe_after": probe_after}}))
 """
 
 
@@ -120,12 +150,27 @@ def main():
     tput_hi = hi["pages"] / (hi["wave_ms"] / 1000)
     ratio = args.high / args.low
     eff = tput_hi / (ratio * tput_lo)
+
+    # host-speed bracket: min of the before/after busy-probes, as a share
+    # of the fastest probe seen across the whole experiment (1.0 = host at
+    # full speed; lower = steal/throttle during that rep)
+    best_probe = max(min(r["probe_before"], r["probe_after"])
+                     for r in lows + highs)
+    for r in lows + highs:
+        r["host_speed"] = round(
+            min(r["probe_before"], r["probe_after"]) / best_probe, 3)
     print(json.dumps({
         "corpus_pages": n,
-        "reps_wave_ms": {"low": [r["wave_ms"] for r in lows],
-                         "high": [r["wave_ms"] for r in highs]},
-        "low": {**lo, "pages_per_sec": round(tput_lo, 1)},
-        "high": {**hi, "pages_per_sec": round(tput_hi, 1)},
+        "reps": {"low": [{"wave_ms": r["wave_ms"],
+                          "host_speed": r["host_speed"]} for r in lows],
+                 "high": [{"wave_ms": r["wave_ms"],
+                           "host_speed": r["host_speed"]} for r in highs]},
+        "low": {**{k: v for k, v in lo.items()
+                   if not k.startswith("probe")},
+                "pages_per_sec": round(tput_lo, 1)},
+        "high": {**{k: v for k, v in hi.items()
+                    if not k.startswith("probe")},
+                 "pages_per_sec": round(tput_hi, 1)},
         "speedup": round(tput_hi / tput_lo, 2),
         "scaling_efficiency": round(eff, 3),
     }, indent=1))
