@@ -93,8 +93,16 @@ class CrawlConfig:
     bloom_expected_items: int = 10_000_000
     bloom_fpp: float = 0.01
     use_seen_bloom: bool = True       # bloom sidecar prunes the seen-join
-    seen_bloom_min_rows: int = 50_000  # engage only once seen is this big
-                                       # (tiny parity crawls skip the UDF)
+    seen_bloom_min_rows: int = 20_000_000
+    # ^ engage the bloom fork only once the seen table outgrows broadcast
+    # size (20M hashes = 160 MB of longs).  Below that, Catalyst broadcasts
+    # the seen keys into a shuffle-free left join and the LINEAR plan wins:
+    # the bloom fork costs a base cache, a probe UDF over every candidate,
+    # and a forced wide repartition.  Above it, the fork pays for itself by
+    # keeping definitely-new candidates out of the (now shuffled /
+    # storage-partitioned) exact join.  The sidecar is maintained lazily:
+    # dormant (no absorb jobs, no snapshots) until the seen-set reaches
+    # this size, then one catch-up absorb folds the accumulated table.
 
     def with_(self, **kw: Any) -> "CrawlConfig":
         return replace(self, **kw)

@@ -116,7 +116,10 @@ class WaveCrawler:
                       if state.wave >= 0 else None)
             if loaded is not None:
                 self._seen_bloom = loaded[0]
-            elif state.wave >= 0:
+            elif (state.wave >= 0 and state.seen_count
+                    >= self.cfg.seen_bloom_min_rows):
+                # no snapshot but the seen table is big enough that the
+                # sidecar should be live: rebuild it once, distributed
                 seen = self.store.read_all("seen", state.wave + 1)
                 if seen is not None:
                     self._seen_bloom = bloom_from_df(
@@ -241,18 +244,39 @@ class WaveCrawler:
         return (bc, self.cfg.bloom_expected_items, self.cfg.bloom_fpp)
 
     def _absorb_seen_wave(self, wave: int, seen_add: DataFrame | None = None,
-                          n_hint: int | None = None) -> None:
+                          n_hint: int | None = None,
+                          total_seen: int | None = None) -> None:
         """Fold wave ``wave``'s seen appends into the live filter and
         persist the snapshot (resume reads it back).  Both the per-wave
-        delta and the resume-time full rebuild go through the distributed
+        delta and the catch-up full rebuild go through the distributed
         per-bucket partial-plane path (``absorb_into_bloom``) — the driver
         never collects hashes, only ≤ m/8 bytes of planes.  Pass
         ``seen_add`` (the cached wave delta) to read off the cache instead
-        of re-reading the parquet append."""
+        of re-reading the parquet append.
+
+        LAZY maintenance: while the accumulated seen-set (``total_seen``)
+        is below half the engagement threshold the sidecar stays dormant —
+        no absorb job, no snapshot — because the wave plan is using the
+        broadcast/exact join anyway.  On crossing, one catch-up absorb
+        folds the full accumulated table."""
         if self._seen_bloom is None:
             return
         from abot_spark.functions.udfs import absorb_into_bloom
 
+        if (total_seen is not None
+                and total_seen < self.cfg.seen_bloom_min_rows):
+            return  # dormant: _prepare rebuilds from the seen table if needed
+        if self._seen_bloom.n_added == 0 and total_seen is not None \
+                and n_hint is not None and total_seen > n_hint:
+            # first absorb after a dormant stretch: fold everything to date
+            # (this wave's append is already durable — the write lane runs
+            # the seen write before this)
+            src = self.store.read_all("seen", wave)
+            if src is not None:
+                absorb_into_bloom(src, "url_hash", self._seen_bloom,
+                                  num_partitions=self._nparts)
+            self.store.save_bloom(self._seen_bloom, wave)
+            return
         if n_hint == 0:
             # empty delta: nothing to absorb, but the per-wave snapshot
             # must still exist for resume to reload
@@ -322,8 +346,10 @@ class WaveCrawler:
             sched["cand_base"].count()  # fill the base before the plan forks
         crow = sched["cand_cache"].agg(
             F.sum(F.col("admitted").cast("int")).alias("n"),
+            F.sum(F.col("_out_seen_add").cast("int")).alias("n_sa"),
             F.max(F.col("budget_denied").cast("int")).alias("bd")).first()
         n = int(crow["n"] or 0)
+        state.seen_count = int(crow["n_sa"] or 0)
         out_parts = self._nparts if n >= 2000 else 2
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=4) as pool:
@@ -336,7 +362,8 @@ class WaveCrawler:
                             sched["seen_add"].coalesce(out_parts)),
                 pool.submit(self.store.write_wave, "disallowed", 0,
                             sched["disallowed"].coalesce(out_parts)),
-                pool.submit(self._absorb_seen_wave, 0, sched["seen_add"]),
+                pool.submit(self._absorb_seen_wave, 0, sched["seen_add"],
+                            None, state.seen_count),
             ]
             for f in futs:
                 f.result()
@@ -639,7 +666,8 @@ class WaveCrawler:
             _timed("counts", self.store.write_wave, "counts", w,
                    wave_counts.withColumn("wave", F.lit(w)))
             _timed("bloom_absorb", self._absorb_seen_wave,
-                   w + 1, sched["seen_add"], n_seen_add)
+                   w + 1, sched["seen_add"], n_seen_add,
+                   state.seen_count + n_seen_add)
 
         with ThreadPoolExecutor(max_workers=2) as pool:
             futs = [
@@ -670,6 +698,7 @@ class WaveCrawler:
 
         state.crawled_count += n_processed
         state.retried_count += n_retried
+        state.seen_count += n_seen_add
         state.next_seq += n_admitted
         # CrawledCount + Scheduler.Count at the start of the next wave
         state.budget_used = state.crawled_count + n_frontier_next

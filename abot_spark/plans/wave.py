@@ -448,15 +448,16 @@ def schedule_wave(
     # The bloom path forks the plan (maybe/fresh branches) and each fork
     # re-executes its lineage — which contains the link-extraction UDF and
     # explode.  Cache the candidate base ONCE so every branch reads the
-    # materialized rows instead of re-running the UDF per branch.  Caching
-    # it ALREADY hash-partitioned on url_hash lets the in-wave dup window
-    # and the seen join both reuse that clustering — the wide candidate
-    # rows shuffle once into the cache instead of once per consumer.
-    # Without the bloom fork the lineage stays linear and the decided
-    # cache below is the only materialization needed — skip this one
-    # (saves a full cache build + scan per wave on the no-bloom path).
-    cand = cand.repartition(num_partitions, "url_hash")
+    # materialized rows instead of re-running the UDF per branch.
+    # Without the bloom fork the lineage stays LINEAR: the seen join is a
+    # plain left join whose physical strategy Catalyst/AQE picks — a
+    # broadcast of the seen keys while the crawl is small, a shuffled join
+    # (storage-partitioned on bucket(url_hash) at Iceberg scale) once it
+    # isn't — so the wide candidate rows never shuffle just for the probe,
+    # and no base cache is needed at all.
     forked = seen is not None and seen_bloom is not None
+    if forked:
+        cand = cand.repartition(num_partitions, "url_hash")
     cand_base = cand.cache() if forked else cand
     cand = cand_base
 
@@ -490,22 +491,23 @@ def schedule_wave(
         # IsUriKnown pre-check in SchedulePageLinks (:1113-1117).
         cand = cand.withColumn(
             "is_known", F.col("is_known") & (F.col("kind") != 0))
-    # in-wave first-occurrence dedup — ONLY over not-yet-known candidates.
-    # A url_hash's occurrences are either all known or all fresh, and known
-    # rows are never decided/evented regardless of dup rank, so running the
-    # window on the fresh sliver is semantically identical while shrinking
-    # the wave's biggest shuffle from |all links| to |novel links| (in a
-    # warmed-up crawl the overwhelming majority of outlinks are known).
+    # KNOWN ROWS PRODUCE NO OUTPUT: they are never decided, never evented
+    # (Crawl_ExtractedLinksAreNotCheckedTwice), never re-appended to seen
+    # (_out_seen_add excludes _in_seen), and never admitted.  Drop them
+    # HERE, so every downstream stage — the dup window, the decision
+    # columns, the decided cache, the admission aggregate — runs on the
+    # novel sliver only.  In a warmed-up crawl (the steady state that
+    # dominates a 10^10-URL run) the overwhelming majority of outlinks are
+    # known, so this shrinks the wave's cached/windowed volume from
+    # |all links| to |novel links|.
+    cand = cand.filter(~F.col("is_known")).drop("is_known")
+    # in-wave first-occurrence dedup over the novel sliver
     w_dup = Window.partitionBy("url_hash").orderBy(*ORD)
-    fresh = cand.filter(~F.col("is_known")) \
-        .withColumn("_occ", F.row_number().over(w_dup)) \
+    cand = cand.withColumn("_occ", F.row_number().over(w_dup)) \
         .withColumn("dup_skipped", F.col("_occ") > 1).drop("_occ")
-    cand = cand.filter(F.col("is_known")) \
-        .withColumn("dup_skipped", F.lit(False)) \
-        .unionByName(fresh)
-    # a known/dup link is still iterated (stays seen-marked) but never
-    # decided and never evented (Crawl_ExtractedLinksAreNotCheckedTwice)
-    decidable = ~F.col("is_known") & ~F.col("dup_skipped")
+    # a dup link is still iterated (stays seen-marked) but never decided
+    # and never evented
+    decidable = ~F.col("dup_skipped")
     if user_link_predicate is not None:
         # F9 ShouldScheduleLinkDecisionMaker (WebCrawler.cs:1117-1118):
         # user veto runs before the child is even built; denial is silent
@@ -658,7 +660,7 @@ def schedule_wave(
         & ~F.col("_in_seen"))
     cand = cand.withColumn(
         "_out_disallowed",
-        F.col("iterated") & ~F.col("is_known") & ~F.col("dup_skipped")
+        F.col("iterated") & ~F.col("dup_skipped")
         & ~silent_external & F.lit(not latched)
         & (~F.col("robots_ok") | F.col("static_reason").isNotNull()
            | F.col("domain_cap_hit")))

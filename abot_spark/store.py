@@ -48,6 +48,8 @@ class CrawlState:
     stop_requested: bool = False    # A5
     hard_stop_requested: bool = False
     frontier_next: int = -1         # rows in frontier wave+1 (-1 = unknown)
+    seen_count: int = 0             # cumulative seen-table rows (gates the
+                                    # lazy bloom-sidecar maintenance)
     sim_clock_ms: int = 0           # simulated wall clock for politeness
     root_authority: str = ""
     original_root_authority: str = ""
