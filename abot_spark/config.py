@@ -79,6 +79,15 @@ class CrawlConfig:
     max_memory_usage_cache_time_in_seconds: int = 2
 
     # -- engine-specific (no Abot equivalent) -------------------------------
+    frontier_order: str = "fifo"      # GetNext order when the politeness
+    # quota truncates a domain's wave: "fifo" = strict enqueue order
+    # (QueueOfPagesToCrawlRepository FIFO contract,
+    # Abot/Core/Repositories/QueueOfPagesToCrawlRepository.cs:15-55) or
+    # "priority" = (depth asc, crawl_delay asc, seq) — shallow pages and
+    # cheap domains first, the priority-queue frontier variant.  The BFS
+    # wave loop is already a global depth-priority queue (all of wave w
+    # before w+1); this knob additionally prioritizes WITHIN a truncated
+    # wave, where deferred/retry/redirect rows make depths heterogeneous.
     audit_text: bool = True           # False: fetched audit stores sha256+len
                                       # instead of the full text (scale mode:
                                       # the corpus already holds the bytes)

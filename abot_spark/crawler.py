@@ -781,7 +781,17 @@ class WaveCrawler:
             ).otherwise(F.lit(1 << 62))
 
             from pyspark.sql import Window
-            w_dom = Window.partitionBy("domain").orderBy("seq")
+            # GetNext order under quota truncation: FIFO (reference
+            # contract) or priority (depth asc, delay asc, seq) — see
+            # CrawlConfig.frontier_order.  delay is constant within a
+            # domain partition, so it only matters if a caller reuses the
+            # ordering globally; kept for the documented key shape.
+            if cfg.frontier_order == "priority":
+                ord_cols = [F.col("depth").asc(), delay_col.asc(),
+                            F.col("seq").asc()]
+            else:
+                ord_cols = [F.col("seq").asc()]
+            w_dom = Window.partitionBy("domain").orderBy(*ord_cols)
             ranked = frontier.withColumn("_qrank", F.row_number().over(w_dom)) \
                              .withColumn("_quota", quota) \
                              .withColumn("_delay", delay_col)

@@ -1,0 +1,78 @@
+"""Priority-frontier GetNext order (``CrawlConfig.frontier_order``).
+
+The reference's queue is strict FIFO
+(``Abot/Core/Repositories/QueueOfPagesToCrawlRepository.cs:15-55``); the
+scheduler interface is documented as "managing the priority of what pages
+need to be crawled" (``Abot/Core/Repositories/IScheduler.cs:8``).  Our
+priority variant orders GetNext-under-quota by ``(depth asc, crawl_delay
+asc, seq)`` instead of ``seq`` — shallow pages first when politeness
+truncates a domain's wave.  The BFS wave loop is already depth-priority
+globally; heterogeneous depths inside one wave come from deferred, retry,
+and redirect rows.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import types as T
+
+from abot_spark.config import CrawlConfig
+from abot_spark.crawler import WaveCrawler
+
+SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("seq", T.LongType()),
+    T.StructField("depth", T.IntegerType()),
+    T.StructField("domain", T.StringType()),
+    T.StructField("not_before_ms", T.LongType()),
+    T.StructField("is_retry", T.BooleanType()),
+])
+
+# one domain, mixed depths, enqueue order (seq) anti-correlated with depth:
+# a deferred shallow row (depth 0) carries a HIGHER seq than deep rows
+ROWS = [
+    ("http://d/a", 1, 2, "d", 0, False),
+    ("http://d/b", 2, 1, "d", 0, False),
+    ("http://d/c", 3, 0, "d", 0, False),
+    ("http://d/e", 4, 1, "e", 0, False),
+]
+
+
+def _due(spark, cfg):
+    crawler = WaveCrawler(spark, cfg, tempfile.mkdtemp(prefix="abot-prio-"),
+                          spark.createDataFrame([], "url string, html binary"))
+    frontier = spark.createDataFrame(ROWS, SCHEMA)
+    due, deferred, _ = crawler._politeness_split(frontier, {}, wave_ts=0)
+    return ({r["url"] for r in due.collect()},
+            {r["url"] for r in deferred.collect()} if deferred is not None
+            else set())
+
+
+def test_fifo_quota_pops_lowest_seq(spark):
+    # 60 s horizon / 60 s delay => quota 1 per domain per wave
+    cfg = CrawlConfig(min_crawl_delay_per_domain_milli_seconds=60_000)
+    due, deferred = _due(spark, cfg)
+    assert due == {"http://d/a", "http://d/e"}
+    assert deferred == {"http://d/b", "http://d/c"}
+
+
+def test_priority_quota_pops_shallowest(spark):
+    cfg = CrawlConfig(min_crawl_delay_per_domain_milli_seconds=60_000,
+                      frontier_order="priority")
+    due, deferred = _due(spark, cfg)
+    assert due == {"http://d/c", "http://d/e"}  # depth 0 wins despite seq 3
+    assert deferred == {"http://d/a", "http://d/b"}
+
+
+def test_priority_tie_breaks_by_seq(spark):
+    cfg = CrawlConfig(min_crawl_delay_per_domain_milli_seconds=30_000,
+                      frontier_order="priority")
+    due, _ = _due(spark, cfg)  # quota 2: depth 0 then the depth-1 lower seq
+    assert due == {"http://d/c", "http://d/b", "http://d/e"}
+
+
+def test_priority_without_quota_is_all_due(spark):
+    cfg = CrawlConfig(frontier_order="priority")
+    due, deferred = _due(spark, cfg)
+    assert due == {r[0] for r in ROWS} and deferred == set()
