@@ -155,30 +155,40 @@ FLAT_LINKS_SCHEMA = StructType([
 
 
 def flat_links_map(cfg: CrawlConfig):
-    """``mapInPandas`` generator fusing T1+T3 with the explode.
+    """``mapInArrow`` generator fusing T1+T3 with the explode.
 
     The ``links_col`` + ``posexplode`` plan builds 10^7s of Python dicts
     per wave, ships them as Arrow *nested* struct arrays, and then pays a
     JVM ``Generate`` + struct projection that profiles as expensive as the
     parse itself (see BENCH.md).  Emitting already-flat columns keeps the
     whole path primitive Arrow arrays: the per-page loop appends to flat
-    lists and the parent columns are ``np.repeat``'d — no nested types,
-    no Generate.  Input rows: (text, response_url, x_robots_tag, seq,
-    url, depth); output: FLAT_LINKS_SCHEMA with ``depth`` already +1 and
-    ``pos`` the in-page first-seen link index (T5 ordering key).
+    lists, parent columns are Arrow ``take``s with a repeated index — no
+    nested types, no Generate, and (vs the earlier ``mapInPandas`` shape)
+    no pandas block materialization on either side of the kernel: input
+    strings come straight off the Arrow buffers, output arrays are built
+    by single ``pa.array`` C loops.  Input rows: (text, response_url,
+    x_robots_tag, seq, url, depth); output: FLAT_LINKS_SCHEMA with
+    ``depth`` already +1 and ``pos`` the in-page first-seen link index
+    (T5 ordering key).
     """
     import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    names = [f.name for f in FLAT_LINKS_SCHEMA.fields]
 
     def gen(batches):
-        for pdf in batches:
+        for rb in batches:
+            col = {name: rb.column(i)
+                   for i, name in enumerate(rb.schema.names)}
             urls: list[str] = []
             domains: list[str] = []
             paths: list[str] = []
-            counts = np.zeros(len(pdf), dtype=np.int64)
-            text_a = pdf["text"].to_numpy()
-            rurl_a = pdf["response_url"].to_numpy()
-            xrt_a = pdf["x_robots_tag"].to_numpy()
-            for i in range(len(pdf)):
+            counts = np.zeros(rb.num_rows, dtype=np.int64)
+            text_a = col["text"].to_pylist()
+            rurl_a = col["response_url"].to_pylist()
+            xrt_a = col["x_robots_tag"].to_pylist()
+            for i in range(rb.num_rows):
                 text_v, url_v = text_a[i], rurl_a[i]
                 if text_v is None or url_v is None:
                     continue
@@ -193,17 +203,18 @@ def flat_links_map(cfg: CrawlConfig):
                 continue
             pos = np.concatenate(
                 [np.arange(c, dtype=np.int32) for c in counts if c > 0])
-            yield pd.DataFrame({
-                "url": urls,
-                "domain": domains,
-                "path": paths,
-                "parent_seq": np.repeat(
-                    pdf["seq"].to_numpy(dtype=np.int64), counts),
-                "parent_url": np.repeat(pdf["url"].to_numpy(), counts),
-                "depth": np.repeat(
-                    pdf["depth"].to_numpy(dtype=np.int32), counts) + 1,
-                "pos": pos,
-            })
+            idx = pa.array(np.repeat(
+                np.arange(rb.num_rows, dtype=np.int64), counts))
+            yield pa.RecordBatch.from_arrays([
+                pa.array(urls, type=pa.string()),
+                pa.array(domains, type=pa.string()),
+                pa.array(paths, type=pa.string()),
+                pc.take(col["seq"], idx),
+                pc.take(col["url"], idx),
+                pc.add(pc.take(col["depth"], idx),
+                       pa.scalar(1, pa.int32())),
+                pa.array(pos, type=pa.int32()),
+            ], names=names)
 
     return gen
 

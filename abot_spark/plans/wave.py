@@ -303,7 +303,7 @@ def extract_wave(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
 
 
 def explode_links(extracted: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """T1/T3 fused with the explode: one ``mapInPandas`` stage over
+    """T1/T3 fused with the explode: one ``mapInArrow`` stage over
     F2-allowed pages emits already-flat candidate rows.
 
     Base URI is ``response_url`` (issue 82, ``HyperLinkParser.cs:162-165``);
@@ -318,7 +318,7 @@ def explode_links(extracted: DataFrame, cfg: CrawlConfig) -> DataFrame:
     )
     flat = linkable.select(
         "text", "response_url", "x_robots_tag", "seq", "url", "depth"
-    ).mapInPandas(flat_links_map(cfg), FLAT_LINKS_SCHEMA)
+    ).mapInArrow(flat_links_map(cfg), FLAT_LINKS_SCHEMA)
     return (
         flat
         .withColumn("kind", F.lit(1))

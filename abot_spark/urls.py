@@ -33,6 +33,13 @@ _DEFAULT_PORTS = {"http": 80, "https": 443}
 
 _HOST_RE_FAST = __import__("re").compile(r"[a-z0-9.-]+\Z")
 
+# anchored scheme sniff — same accept set as urlsplit's (first char ASCII
+# alpha, then letters/digits/"+-.", terminated by the first ":"); used to
+# skip a full urlsplit per href in absolutize.  urlsplit additionally
+# strips \t\n\r anywhere and leading C0 controls before sniffing, so any
+# href containing those defers to the real urlsplit (see absolutize).
+_SCHEME_RE = __import__("re").compile(r"[A-Za-z][A-Za-z0-9+.\-]*:")
+
 
 def _fast_canonical(url: str) -> str | None:
     """Return ``url`` unchanged iff it is *provably already canonical* —
@@ -190,10 +197,16 @@ def absolutize(base_url: str, href: str, respect_fragment: bool = False) -> str 
     fast = _fast_canonical(href)
     if fast is not None:
         return fast  # clean absolute href: skip scheme-sniff + re-parse
-    try:
-        href_scheme = urlsplit(href).scheme
-    except ValueError:
-        return None
+    m = _SCHEME_RE.match(href)
+    if m is None and ("\t" in href or "\n" in href or "\r" in href
+                      or (href and href[0] < "!")):
+        # chars urlsplit strips before sniffing could be hiding a scheme
+        try:
+            href_scheme = urlsplit(href).scheme
+        except ValueError:
+            return None
+    else:
+        href_scheme = href[:m.end() - 1] if m is not None else ""
     if href_scheme:
         # absolute href: .NET validates it standalone — ``http://////``
         # throws rather than being repaired against the base
@@ -221,11 +234,41 @@ def _split_cached(url: str):
         return None
 
 
-@lru_cache(maxsize=1 << 16)
 def split_authority_path(url: str) -> tuple[str, str]:
-    """(netloc-sans-userinfo, path) of an already-canonical URL — one cached
-    split instead of a re-parse per consumer (the link UDF emits these
-    alongside every extracted URL)."""
+    """(netloc-sans-userinfo, path) of an already-canonical URL — one split
+    instead of a re-parse per consumer (the link UDF emits these alongside
+    every extracted URL).  Manual scan for the dominant clean-http(s) case;
+    anything uncertain (userinfo, stripped chars, other schemes) defers to
+    the cached urlsplit path, whose parity with this scan is
+    property-tested (tests/test_urls.py::test_split_authority_path_parity).
+    """
+    if url.startswith("http://"):
+        rest = url[7:]
+    elif url.startswith("https://"):
+        rest = url[8:]
+    else:
+        return _split_authority_path_slow(url)
+    cut = len(rest)
+    for sep in "/?#":
+        i = rest.find(sep, 0, cut)
+        if i >= 0:
+            cut = i
+    netloc = rest[:cut]
+    if not netloc or "@" in netloc or "[" in netloc or "]" in netloc \
+            or "\t" in url or "\n" in url or "\r" in url:
+        return _split_authority_path_slow(url)
+    if cut == len(rest) or rest[cut] != "/":
+        return netloc, "/"
+    path = rest[cut:]
+    for sep in "?#":
+        i = path.find(sep)
+        if i >= 0:
+            path = path[:i]
+    return netloc, path
+
+
+@lru_cache(maxsize=1 << 16)
+def _split_authority_path_slow(url: str) -> tuple[str, str]:
     try:
         parts = urlsplit(url)
     except ValueError:

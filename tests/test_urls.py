@@ -125,3 +125,86 @@ def test_fast_canonical_hypothesis():
             assert f == _canonicalize_slow(u), repr(u)
 
     check()
+
+
+def test_split_authority_path_parity():
+    """The manual http(s) scan in split_authority_path must agree with the
+    urlsplit-backed slow path on every input (the slow path IS the spec)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from abot_spark.urls import (_split_authority_path_slow,
+                                 split_authority_path)
+
+    url_chars = st.text(
+        alphabet="abcXYZ019.-_/:?#@%&=;~[] \t\n\\", max_size=40)
+
+    @settings(max_examples=500, deadline=None)
+    @given(prefix=st.sampled_from(["http://", "https://", "HTTP://",
+                                   "mailto:", ""]),
+           rest=url_chars)
+    def check(prefix, rest):
+        u = prefix + rest
+        assert split_authority_path(u) == _split_authority_path_slow(u), \
+            repr(u)
+
+    check()
+    # the fast path engages on the canonical shapes the link UDF emits
+    assert split_authority_path("http://a.com/x/y?q=1") == ("a.com", "/x/y")
+    assert split_authority_path("https://a.com") == ("a.com", "/")
+    assert split_authority_path("http://a.com:8080/p#f") == \
+        ("a.com:8080", "/p")
+
+
+def test_absolutize_scheme_sniff_parity():
+    """absolutize's anchored-regex scheme sniff must classify every href the
+    way urlsplit's scheme parse does (same downstream branch)."""
+    from urllib.parse import urlsplit
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from abot_spark.urls import absolutize
+
+    def reference_branch(href):
+        try:
+            return bool(urlsplit(href).scheme)
+        except ValueError:
+            return None  # original code dropped the href outright
+
+    href_chars = st.text(
+        alphabet="abcXYZ019.-_/:?#@%&=+;~[] \t\n\r\x00\\", max_size=40)
+
+    @settings(max_examples=800, deadline=None)
+    @given(href=href_chars)
+    def check(href):
+        # differential: run absolutize and an urlsplit-sniff reimplementation
+        # of the original branch structure; outputs must be identical
+        base = "http://base.example.com/dir/page.html"
+        got = absolutize(base, href)
+        stripped = href.strip()
+        h = stripped.split("#", 1)[0]
+        if h == "":
+            return  # base-resolution branch, untouched by the sniff
+        from abot_spark.urls import (_fast_canonical, _split_cached,
+                                     canonicalize)
+        from urllib.parse import urljoin
+        if _fast_canonical(h) is not None:
+            expected = _fast_canonical(h)
+        else:
+            branch = reference_branch(h)
+            if branch is None:
+                expected = None
+            elif branch:
+                expected = canonicalize(h)
+            elif h.startswith("/") and not h.startswith("//"):
+                b = _split_cached(base)
+                expected = canonicalize(f"{b.scheme}://{b.netloc}{h}")
+            else:
+                try:
+                    expected = canonicalize(urljoin(base, h))
+                except ValueError:
+                    expected = None
+        assert got == expected, repr(href)
+
+    check()
