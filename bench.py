@@ -115,7 +115,7 @@ def main() -> None:
     timings["crawl_wave_loop"] = crawl["sec"]
     total = round(time.monotonic() - total0, 2)
 
-    print(json.dumps({
+    out = {
         "metric": ("pages fetched+extracted/sec (synthetic Zipf web, "
                    "wave loop) + headline operator suite"),
         "value": total,
@@ -124,7 +124,17 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "crawl": crawl,
-    }))
+    }
+    # N -> 4N scaling-efficiency evidence (north_rule): recorded by
+    # ``tools/bench_scaling.py --out SCALING.json`` (a separate ~20-min
+    # run of the single-wave job at local[N] vs local[4N]); embedded here
+    # so the per-round JSON line is self-contained.
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            out["scaling"] = json.load(f)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

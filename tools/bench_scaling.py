@@ -117,6 +117,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--out", default=None,
+                    help="also write the result JSON here (e.g. "
+                         "SCALING.json at the repo root, which bench.py "
+                         "embeds in its per-round JSON line)")
     ap.add_argument("--domains", type=int, default=250)
     ap.add_argument("--sections", type=int, default=20)
     ap.add_argument("--leaves", type=int, default=45)
@@ -159,7 +163,7 @@ def main():
     for r in lows + highs:
         r["host_speed"] = round(
             min(r["probe_before"], r["probe_after"]) / best_probe, 3)
-    print(json.dumps({
+    result = {
         "corpus_pages": n,
         "reps": {"low": [{"wave_ms": r["wave_ms"],
                           "host_speed": r["host_speed"]} for r in lows],
@@ -173,7 +177,12 @@ def main():
                  "pages_per_sec": round(tput_hi, 1)},
         "speedup": round(tput_hi / tput_lo, 2),
         "scaling_efficiency": round(eff, 3),
-    }, indent=1))
+        "loadavg_at_end": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps(result, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":
