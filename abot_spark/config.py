@@ -97,6 +97,15 @@ class CrawlConfig:
                                       # for MB-scale html cells — raise for
                                       # small-page corpora (batch bytes =
                                       # rows x avg cell size)
+    cache_compressed: bool = False    # in-memory columnar compression for
+                                      # the per-wave candidate cache.  The
+                                      # cache is written once and read 3-4x
+                                      # within the same wave, then dropped:
+                                      # A/B on the 230k-page corpus showed
+                                      # compression costs ~12% of wave wall
+                                      # (tools/ab_wave_configs.py); executor
+                                      # memory is not the binding resource
+                                      # for a transient single-wave cache
     seen_buckets: int = 64            # hash buckets for the seen-set table
     domain_salt: int = 8              # salt factor for skewed-domain fetch
     bloom_expected_items: int = 10_000_000

@@ -88,6 +88,10 @@ class WaveCrawler:
         # seen-wave deltas come back via Arrow toPandas (bloom absorption)
         self.spark.conf.set("spark.sql.execution.arrow.pyspark.enabled",
                             "true")
+        # transient single-wave caches: compression CPU outweighs the
+        # memory it saves (see CrawlConfig.cache_compressed)
+        self.spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed",
+                            "true" if self.cfg.cache_compressed else "false")
         # The fetch join must broadcast the *frontier* side — shuffling the
         # html-bearing corpus is GBs per wave vs MBs of frontier rows.  (At
         # 10^10-URL scale with an Iceberg corpus this becomes a storage-
@@ -337,6 +341,9 @@ class WaveCrawler:
             latched=False,
             root_authorities=self._root_authorities(state),
             wave_ts_ms=0, num_partitions=self._nparts,
+            # seed candidates share parent_seq=0/kind=1; the order is pos,
+            # whose range is known exactly — computed buckets, no sampling
+            seq_range_hint=("pos", 0, len(rows)),
         )
         frontier0 = sched["admitted"].withColumn("is_root", F.lit(True)) \
             .withColumn("wave", F.lit(0))
@@ -497,6 +504,13 @@ class WaveCrawler:
         n_deferred = stats[False]["n"] if False in stats else 0
         if n_deferred == 0:
             deferred = None
+        # due rows' seq range: candidates' parent_seq (links, redirect
+        # children, retries alike) falls inside it, so seq assignment can
+        # compute its range buckets instead of sampling (one shuffle)
+        seq_hint = None
+        if d_row is not None and d_row["min_seq"] is not None:
+            seq_hint = ("parent_seq", int(d_row["min_seq"]),
+                        int(d_row["max_seq"]) + 1)
 
         _tick("politeness")
         if self._corpus is not None:
@@ -575,6 +589,7 @@ class WaveCrawler:
                 self.user_link_predicate() if callable(self.user_link_predicate)
                 else self.user_link_predicate),
             seen_bloom=self._bloom_arg(),
+            seq_range_hint=seq_hint,
         )
 
         _tick("schedule_build")
@@ -804,10 +819,14 @@ class WaveCrawler:
             tagged.groupBy("_due", "domain")
             .agg(F.count(F.lit(1)).alias("_cnt"),
                  F.sum(F.col("is_retry").cast("int")).alias("_retry"),
-                 F.first("_delay").alias("_d"))
+                 F.first("_delay").alias("_d"),
+                 F.min("seq").alias("_min_seq"),
+                 F.max("seq").alias("_max_seq"))
             .groupBy("_due")
             .agg(F.sum("_cnt").alias("n"),
                  F.sum("_retry").alias("n_retry"),
-                 F.max(F.col("_cnt") * F.col("_d")).alias("elapsed_ms"))
+                 F.max(F.col("_cnt") * F.col("_d")).alias("elapsed_ms"),
+                 F.min("_min_seq").alias("min_seq"),
+                 F.max("_max_seq").alias("max_seq"))
         )
         return due, deferred, stats_df

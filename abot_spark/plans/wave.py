@@ -89,27 +89,50 @@ SMALL_SEQ_ROWS = 200_000
 
 def assign_seq(df: DataFrame, order_cols: list[str], start: int,
                num_partitions: int = 32, seq_col: str = "seq",
-               known_count: int | None = None) -> DataFrame:
+               known_count: int | None = None,
+               range_hint: tuple[str, int, int] | None = None) -> DataFrame:
     """Deterministic global rank without a single-partition window.
 
-    repartitionByRange on the (total) order key → per-partition local
-    row_number → tiny per-partition count aggregate → broadcast cumulative
-    offsets.  The rank depends only on the total order, not on where the
-    range partitioner draws boundaries.
+    Bucket rows by contiguous ranges of the leading order column → window
+    ``row_number`` per bucket → tiny per-bucket count aggregate → broadcast
+    cumulative offsets.  The rank depends only on the total order, not on
+    where the bucket boundaries fall.
+
+    ``range_hint=(col, lo, hi)`` supplies the leading order column's value
+    range, letting the bucket id be COMPUTED (an even split of ``[lo, hi)``)
+    instead of sampled: one hash shuffle total.  ``col`` must be the first
+    order column (or every column before it must be constant across ``df``),
+    so buckets are contiguous in the total order.  Without the hint the
+    bucket id comes from ``repartitionByRange`` — correct for any
+    distribution but costs a sampling pass over the input plus an extra
+    full shuffle (the window re-shuffles by bucket id; at a 10^10-URL
+    frontier that is two scans + two shuffles of the candidate set where
+    the hinted path does one).
 
     When the caller already knows the input's row count (``known_count``)
-    and it is small, the range-sampling job is skipped for a single-task
-    total sort — same rank, one scan instead of two.  Large inputs always
-    take the two-phase path (never a single-partition window on an
-    unbounded set).
+    and it is small, a single-task total sort is cheapest — same rank, one
+    scan.  Large inputs always take a bucketed path (never a
+    single-partition window on an unbounded set).
     """
     if known_count is not None and known_count <= SMALL_SEQ_ROWS:
         w_all = Window.orderBy(*order_cols)
         return df.coalesce(1).withColumn(
             seq_col,
             (F.lit(start) - 1 + F.row_number().over(w_all)).cast("long"))
-    parted = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-    parted = parted.withColumn("_pid", F.spark_partition_id())
+    if range_hint is not None:
+        hcol, lo, hi = range_hint
+        span = max(int(hi) - int(lo), 1)
+        bucket = F.floor(
+            (F.coalesce(F.col(hcol), F.lit(lo)).cast("double") - F.lit(int(lo)))
+            * F.lit(num_partitions) / F.lit(span))
+        parted = df.withColumn(
+            "_pid",
+            F.least(F.lit(num_partitions - 1),
+                    F.greatest(F.lit(0), bucket)).cast("int"))
+    else:
+        parted = df.repartitionByRange(
+            num_partitions, *[F.col(c) for c in order_cols])
+        parted = parted.withColumn("_pid", F.spark_partition_id())
     w_local = Window.partitionBy("_pid").orderBy(*order_cols)
     parted = parted.withColumn("_lrn", F.row_number().over(w_local))
     counts = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
@@ -119,7 +142,9 @@ def assign_seq(df: DataFrame, order_cols: list[str], start: int,
     ).drop("_cnt")
     return (
         parted.join(F.broadcast(offsets), "_pid")
-        .withColumn(seq_col, (F.lit(start) + F.col("_off") + F.col("_lrn")).cast("long"))
+        .withColumn(seq_col,
+                    (F.lit(start) - 1 + F.col("_off") + F.col("_lrn"))
+                    .cast("long"))
         .drop("_pid", "_lrn", "_off")
     )
 
@@ -417,6 +442,7 @@ def schedule_wave(
     num_partitions: int = 32,
     user_link_predicate=None,
     seen_bloom: tuple | None = None,   # (broadcast bits, expected_items, fpp)
+    seq_range_hint: tuple[str, int, int] | None = None,
 ) -> dict:
     """``SchedulePageLinks`` (``WebCrawler.cs:1109-1155``) + the decision
     pipeline as one declarative plan.  Returns dict with:
@@ -686,7 +712,8 @@ def schedule_wave(
     def seq_assigned(known_count: int | None = None) -> DataFrame:
         return assign_seq(admitted_unseq, ORD + ["url_hash"], next_seq,
                           num_partitions=num_partitions,
-                          known_count=known_count)
+                          known_count=known_count,
+                          range_hint=seq_range_hint)
 
     # AddKnownUri for every *iterated* link (:1153) + AddIfNew for admitted
     # redirect children (Scheduler.Add path; denied redirect children are

@@ -27,9 +27,12 @@ from abot_spark.crawler import WaveCrawler
 
 cpus = int(sys.argv[1]); data_dir = sys.argv[2]
 extra = json.loads(sys.argv[3])
+nparts = 3 * max(cpus, 4)
+if extra.pop("__sp_1x__", None):
+    nparts = max(cpus, 4)
 shm = "/dev/shm/abot-ab-cfg"; os.makedirs(shm, exist_ok=True)
 b = (SparkSession.builder.master(f"local[{{cpus}}]")
-     .config("spark.sql.shuffle.partitions", str(3 * max(cpus, 4)))
+     .config("spark.sql.shuffle.partitions", str(nparts))
      .config("spark.sql.adaptive.enabled", "true")
      .config("spark.ui.enabled", "false")
      .config("spark.driver.memory", "48g")
@@ -41,7 +44,7 @@ spark.sparkContext.setLogLevel("ERROR")
 pages = spark.read.parquet(f"{{data_dir}}/pages.parquet")
 seeds = [r["url"] for r in pages.select("url").collect()]
 cfg = CrawlConfig(is_external_page_crawling_enabled=True,
-                  max_pages_to_crawl=0, shuffle_partitions=3 * max(cpus, 4),
+                  max_pages_to_crawl=0, shuffle_partitions=nparts,
                   audit_text=False, arrow_max_records_per_batch=4096)
 crawler = WaveCrawler(spark, cfg,
                       tempfile.mkdtemp(prefix="abot-ab-", dir=shm),
@@ -69,6 +72,13 @@ VARIANTS = [
                            "false",
                            "spark.shuffle.compress": "false",
                            "spark.shuffle.spill.compress": "false"}),
+    # G1 at 32 threads on a 48g heap may burn CPU in concurrent marking;
+    # throughput-oriented ParallelGC is the classic batch alternative
+    ("parallel_gc", {"spark.driver.extraJavaOptions": "-XX:+UseParallelGC"}),
+    # 1x cores instead of 3x: fewer tasks, less per-task overhead (AQE
+    # coalesces anyway); only overrides the SQL-shuffle side, the crawler's
+    # repartition/coalesce counts stay at the CrawlConfig value
+    ("sp_1x_cores", {"__sp_1x__": "1"}),
 ]
 
 
@@ -88,16 +98,23 @@ def main():
     ap.add_argument("--cpus", type=int, default=16)
     ap.add_argument("--domains", type=int, default=250)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--data-dir", default=None,
+                    help="reuse an existing generated corpus dir")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
-    from abot_spark.sources.synthetic_web import generate_web, write_parquet
-    fx = generate_web(n_domains=args.domains, sections=20, leaves=45,
-                      zipf=False, with_fixtures=False, filler_kb=2,
-                      filler_anchors=50)
-    data_dir = tempfile.mkdtemp(prefix="abot-ab-web-")
-    write_parquet(fx, data_dir)
-    print(f"# corpus {len(fx.pages)} pages, cpus {args.cpus}",
+    if args.data_dir:
+        data_dir = args.data_dir
+        n_pages = -1
+    else:
+        from abot_spark.sources.synthetic_web import generate_web, write_parquet
+        fx = generate_web(n_domains=args.domains, sections=20, leaves=45,
+                          zipf=False, with_fixtures=False, filler_kb=2,
+                          filler_anchors=50)
+        data_dir = tempfile.mkdtemp(prefix="abot-ab-web-")
+        write_parquet(fx, data_dir)
+        n_pages = len(fx.pages)
+    print(f"# corpus {n_pages} pages, cpus {args.cpus}",
           file=sys.stderr)
 
     results = {name: [] for name, _ in VARIANTS}
@@ -109,7 +126,7 @@ def main():
                   f"cpu={r['cpu_s']}s", file=sys.stderr, flush=True)
     best = {n: min(rs, key=lambda r: r["wave_ms"]) for n, rs in
             results.items()}
-    print(json.dumps({"corpus_pages": len(fx.pages), "best": best},
+    print(json.dumps({"corpus_pages": n_pages, "best": best},
                      indent=1))
 
 
