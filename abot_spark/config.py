@@ -92,6 +92,14 @@ class CrawlConfig:
                                       # instead of the full text (scale mode:
                                       # the corpus already holds the bytes)
     wave_seconds: float = 60.0        # politeness quota horizon per wave
+    politeness_rank_scale_rows: int = 2_000_000  # frontier rows above which
+                                      # the per-domain quota rank switches
+                                      # from a plain window (one partition
+                                      # per domain — a hot Zipf domain
+                                      # becomes one giant sort) to the
+                                      # two-phase bucketed rank
+                                      # (plans/wave.py:domain_quota_rank);
+                                      # 0 = always plain
     shuffle_partitions: int = 0       # 0 = inherit spark.sql.shuffle.partitions
     arrow_max_records_per_batch: int = 512  # UDF batch rows; default sized
                                       # for MB-scale html cells — raise for

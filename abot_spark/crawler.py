@@ -495,7 +495,8 @@ class WaveCrawler:
         # C3 politeness: per-domain quota for this wave + simulated pacing
         delays = self._effective_delays()
         due, deferred, stats_df = self._politeness_split(
-            frontier, delays, wave_ts)
+            frontier, delays, wave_ts,
+            n_frontier=state.frontier_next, seq_hi=state.next_seq)
         stats = {r["_due"]: r for r in stats_df.collect()}
         d_row = stats.get(True)
         n_processed = (d_row["n"] - (d_row["n_retry"] or 0)) if d_row else 0
@@ -752,7 +753,8 @@ class WaveCrawler:
         return delays
 
     def _politeness_split(self, frontier: DataFrame, delays: dict[str, int],
-                          wave_ts: int):
+                          wave_ts: int, n_frontier: int = -1,
+                          seq_hi: int = 0):
         """Per-domain per-wave quota: at most
         ``wave_seconds*1000/delay_ms`` fetches per domain per wave, FIFO by
         seq; the remainder defers to the next wave keeping its seq (per-
@@ -764,7 +766,13 @@ class WaveCrawler:
         side it carries the row count, retry count, and the simulated
         politeness elapsed (max over domains of count x delay).  Bundling
         these replaces three separate driver actions (deferred emptiness,
-        elapsed, processed/retried counts)."""
+        elapsed, processed/retried counts).
+
+        ``n_frontier``/``seq_hi`` (this wave's frontier row count and the
+        exclusive upper bound of its ``seq`` values — both known to the
+        wave loop for free) switch the per-domain rank to the bucketed
+        two-phase plan above ``politeness_rank_scale_rows``, so a hot Zipf
+        domain never becomes one giant window partition."""
         cfg = self.cfg
         base = cfg.min_crawl_delay_per_domain_milli_seconds
         not_due = F.col("not_before_ms") > F.lit(wave_ts)
@@ -795,22 +803,32 @@ class WaveCrawler:
                            F.lit(1)),
             ).otherwise(F.lit(1 << 62))
 
-            from pyspark.sql import Window
-            # GetNext order under quota truncation: FIFO (reference
-            # contract) or priority (depth asc, delay asc, seq) — see
-            # CrawlConfig.frontier_order.  delay is constant within a
-            # domain partition, so it only matters if a caller reuses the
-            # ordering globally; kept for the documented key shape.
-            if cfg.frontier_order == "priority":
-                ord_cols = [F.col("depth").asc(), delay_col.asc(),
-                            F.col("seq").asc()]
+            scale = (cfg.politeness_rank_scale_rows > 0
+                     and n_frontier >= cfg.politeness_rank_scale_rows
+                     and seq_hi > 0)
+            if scale:
+                ranked = W.domain_quota_rank(
+                    frontier, cfg.frontier_order, self._nparts, seq_hi,
+                    quota, delay_col)
             else:
-                ord_cols = [F.col("seq").asc()]
-            w_dom = Window.partitionBy("domain").orderBy(*ord_cols)
-            ranked = frontier.withColumn("_qrank", F.row_number().over(w_dom)) \
-                             .withColumn("_quota", quota) \
-                             .withColumn("_delay", delay_col)
-            is_due = (F.col("_qrank") <= F.col("_quota")) & ~not_due
+                from pyspark.sql import Window
+                # GetNext order under quota truncation: FIFO (reference
+                # contract) or priority (depth asc, delay asc, seq) — see
+                # CrawlConfig.frontier_order.  delay is constant within a
+                # domain partition, so it only matters if a caller reuses
+                # the ordering globally; kept for the documented key shape.
+                if cfg.frontier_order == "priority":
+                    ord_cols = [F.col("depth").asc(), delay_col.asc(),
+                                F.col("seq").asc()]
+                else:
+                    ord_cols = [F.col("seq").asc()]
+                w_dom = Window.partitionBy("domain").orderBy(*ord_cols)
+                ranked = frontier.withColumn(
+                    "_qrank", F.row_number().over(w_dom).cast("long")) \
+                    .withColumn("_quota", quota) \
+                    .withColumn("_delay", delay_col)
+            is_due = (F.coalesce(F.col("_qrank"), F.lit(1 << 62))
+                      <= F.col("_quota")) & ~not_due
             due = ranked.filter(is_due).drop("_qrank", "_quota", "_delay")
             deferred = ranked.filter(~is_due).drop("_qrank", "_quota", "_delay")
             tagged = ranked.withColumn("_due", is_due)

@@ -149,6 +149,66 @@ def assign_seq(df: DataFrame, order_cols: list[str], start: int,
     )
 
 
+def domain_quota_rank(frontier: DataFrame, order_mode: str,
+                      num_buckets: int, seq_hi: int,
+                      quota_col, delay_col) -> DataFrame:
+    """Per-domain GetNext rank (the politeness-quota rank) without a
+    one-partition-per-domain window.
+
+    ``row_number() OVER (PARTITION BY domain ORDER BY …)`` puts a domain's
+    ENTIRE frontier in one task — a hot Zipf domain at a 10^10-URL frontier
+    is one multi-GB sort.  Same two-phase trick as :func:`assign_seq`,
+    generalized to grouped ranks: bucket each domain's rows by contiguous
+    ``seq`` ranges (seq < ``seq_hi`` always — it is the global monotone
+    enqueue counter), rank within ``(group, bucket)`` — partitions bounded
+    by frontier/B × domain-share — then add per-domain cumulative bucket
+    offsets (a window over the tiny counts table, ≤ B rows per domain).
+
+    Only rows whose LOCAL rank is ≤ quota can possibly be due (offsets only
+    add), so the offsets join touches just the quota sliver; the rest keep
+    ``_qrank = null`` (≡ beyond quota).  Exactly reproduces the plain
+    window's rank for every potentially-due row:
+
+    - fifo: order by ``seq`` (unique → total order; buckets are seq-ranges
+      so bucket concatenation = seq order);
+    - priority: order by ``(depth, delay, seq)`` — delay is constant
+      within a domain, so within-domain order is ``(depth, seq)``; the
+      group key gains ``depth`` and offsets accumulate over
+      ``(depth, bucket)``.
+
+    Adds ``_qrank`` (long, null = definitely beyond quota), ``_quota``,
+    ``_delay``.
+    """
+    B = max(int(num_buckets), 2)
+    hi = max(int(seq_hi), 1)
+    bkt = F.least(
+        F.lit(B - 1),
+        F.greatest(F.lit(0),
+                   F.floor(F.col("seq").cast("double") * B / hi))
+    ).cast("int")
+    df = (frontier.withColumn("_bkt", bkt)
+          .withColumn("_quota", quota_col)
+          .withColumn("_delay", delay_col))
+    group = ["domain", "depth"] if order_mode == "priority" else ["domain"]
+    w_local = Window.partitionBy(*group, "_bkt").orderBy("seq")
+    df = df.withColumn("_lrn", F.row_number().over(w_local))
+    # counts over ALL rows (offsets must include beyond-quota rows too)
+    counts = df.groupBy(*group, "_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    off_order = (["depth", "_bkt"] if order_mode == "priority" else ["_bkt"])
+    w_off = Window.partitionBy("domain").orderBy(*off_order) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))).drop("_cnt")
+    kept = (df.filter(F.col("_lrn") <= F.col("_quota"))
+            .join(offsets, group + ["_bkt"])
+            .withColumn("_qrank",
+                        (F.col("_off") + F.col("_lrn")).cast("long"))
+            .drop("_off"))
+    beyond = df.filter(F.col("_lrn") > F.col("_quota")) \
+        .withColumn("_qrank", F.lit(None).cast("long"))
+    return kept.unionByName(beyond).drop("_bkt", "_lrn")
+
+
 # ---------------------------------------------------------------------------
 # corpus preparation — simulated HTTP with auto-redirect resolution (S3/T6)
 # ---------------------------------------------------------------------------

@@ -76,3 +76,49 @@ def test_priority_without_quota_is_all_due(spark):
     cfg = CrawlConfig(frontier_order="priority")
     due, deferred = _due(spark, cfg)
     assert due == {r[0] for r in ROWS} and deferred == set()
+
+
+def test_bucketed_rank_matches_plain_window(spark):
+    """The two-phase domain_quota_rank (scale path for hot-domain skew)
+    must reproduce the plain per-domain window's due/deferred split
+    exactly — differential over a skewed random frontier, both order
+    modes, several delay settings."""
+    import random
+
+    rng = random.Random(7)
+    rows, seq = [], 0
+    for _ in range(400):
+        dom = f"d{min(int(rng.expovariate(0.9)), 5)}"  # Zipf-ish skew
+        depth = rng.randrange(4)
+        nb = 0 if rng.random() < 0.9 else 10_000  # some not-yet-due rows
+        rows.append((f"http://{dom}/p{seq}", seq, depth, dom, nb,
+                     rng.random() < 0.1))
+        seq += 1
+    frontier = spark.createDataFrame(rows, SCHEMA)
+    delays = {"d0": 5_000, "d1": 20_000}
+    empty_pages = spark.createDataFrame([], "url string, html binary")
+
+    def split(cfg, scale):
+        c = WaveCrawler(spark, cfg, tempfile.mkdtemp(prefix="abot-rank-"),
+                        empty_pages)
+        kw = dict(n_frontier=len(rows), seq_hi=seq) if scale else {}
+        due, deferred, stats = c._politeness_split(
+            frontier, delays, wave_ts=0, **kw)
+        s = {r["_due"]: (r["n"], r["n_retry"], r["elapsed_ms"])
+             for r in stats.collect()}
+        return ({r["url"] for r in due.collect()},
+                ({r["url"] for r in deferred.collect()}
+                 if deferred is not None else set()),
+                s)
+
+    for order in ("fifo", "priority"):
+        for base in (0, 3_000, 60_000):
+            plain = split(CrawlConfig(
+                min_crawl_delay_per_domain_milli_seconds=base,
+                frontier_order=order, politeness_rank_scale_rows=0),
+                scale=False)
+            scaled = split(CrawlConfig(
+                min_crawl_delay_per_domain_milli_seconds=base,
+                frontier_order=order, politeness_rank_scale_rows=1),
+                scale=True)
+            assert scaled == plain, (order, base)
