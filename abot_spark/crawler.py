@@ -527,6 +527,18 @@ class WaveCrawler:
         extracted = W.extract_wave(fetched, cfg) \
             .withColumn("task_partition_id", F.spark_partition_id()) \
             .drop("html").localCheckpoint()
+        if self._corpus is not None:
+            # corpus-miss rows (fetch_wave is an inner join so the corpus
+            # never re-sorts/shuffles): synthesized 404s off a broadcast
+            # anti-join against the just-checkpointed fetched urls.  Tiny
+            # (one row per dangling link that survived scheduling), but
+            # checkpointed too so the 5 downstream consumers don't replay
+            # the frontier scan + quota window + anti-join each
+            missing = W.extract_wave(
+                W.fetch_missing(due, extracted.select("url")), cfg) \
+                .withColumn("task_partition_id", F.spark_partition_id()) \
+                .drop("html").localCheckpoint()
+            extracted = extracted.unionByName(missing)
 
         _tick("fetch_extract_ckpt")
         # root redirect rewrites RootUri (ValidateRootUriForRedirection,

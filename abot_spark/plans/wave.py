@@ -320,9 +320,19 @@ def prepare_corpus(pages: DataFrame, cfg: CrawlConfig) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def fetch_wave(frontier: DataFrame, corpus: DataFrame) -> DataFrame:
-    """S3: the fetch is an equi-join frontier⋈corpus on url.  Missing URLs
-    synthesize 404 + WebException (the .NET behavior for non-success)."""
-    joined = frontier.join(corpus, "url", "left")
+    """S3: the fetch is an equi-join frontier⋈corpus on url — **inner**,
+    with a shuffle-hash hint on the frontier side.
+
+    A left-outer join here cannot build (broadcast/hash) the preserved
+    frontier side, so Catalyst sort-merges it — which re-SORTS the entire
+    html-bearing corpus every wave.  Inner + SHJ instead: the corpus keeps
+    its one-time hash partitioning (prepare step) and never shuffles or
+    sorts; only the narrow frontier moves, and the hash build is
+    wave-bounded.  Frontier URLs absent from the corpus are re-attached by
+    :func:`fetch_missing` (404 + WebException, the .NET behavior for
+    non-success) after the fetched rows are checkpointed.
+    """
+    joined = frontier.hint("shuffle_hash").join(corpus, "url", "inner")
     return (
         joined.withColumn("status_code",
                           F.coalesce(F.col("status_code"), F.lit(404)))
@@ -336,6 +346,29 @@ def fetch_wave(frontier: DataFrame, corpus: DataFrame) -> DataFrame:
             "has_web_exception",
             F.col("error").isNotNull() | (F.col("status_code") >= 400),
         )
+    )
+
+
+def fetch_missing(frontier: DataFrame, fetched_urls: DataFrame) -> DataFrame:
+    """Frontier rows whose URL is not in the corpus: synthesized
+    404 + WebException response columns, schema-identical to
+    :func:`fetch_wave` output.  ``fetched_urls`` is the (materialized)
+    url column of this wave's fetched rows — wave-bounded, so the
+    anti-join broadcasts it instead of touching the corpus again."""
+    miss = frontier.join(F.broadcast(fetched_urls.select("url")),
+                         "url", "left_anti")
+    return (
+        miss.withColumn("status_code", F.lit(404))
+        .withColumn("content_type", F.lit(None).cast("string"))
+        .withColumn("html", F.lit(None).cast("binary"))
+        .withColumn("retry_after", F.lit(None).cast("string"))
+        .withColumn("x_robots_tag", F.lit(None).cast("string"))
+        .withColumn("error", F.lit("WebException"))
+        .withColumn("location_canon", F.lit(None).cast("string"))
+        .withColumn("location_domain", F.lit(None).cast("string"))
+        .withColumn("location_path", F.lit(None).cast("string"))
+        .withColumn("response_url", F.col("url"))
+        .withColumn("has_web_exception", F.lit(True))
     )
 
 
