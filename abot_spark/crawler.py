@@ -561,7 +561,40 @@ class WaveCrawler:
             *text_cols, "domain", "is_retry", "retry_count", "response_url",
             "links_reason", "task_partition_id",
             F.lit(w).alias("wave"), F.lit(wave_ts).alias("wave_ts_ms"),
-        )  # written in the end-of-wave concurrent pool
+        )
+
+        def _timed(label, fn, *a):
+            ts = time.monotonic()
+            fn(*a)
+            if _timing:
+                print(f"WAVETIME wave={w} write:{label}="
+                      f"{time.monotonic() - ts:.2f}s", flush=True)
+
+        # counter updates (A1/A2); counts snapshots are cumulative merged
+        # totals so read the newest one
+        prior_counts = None
+        lastc = self.store.last_wave("counts", w - 1)
+        if lastc is not None:
+            prior_counts = self.store.read_wave("counts", lastc).drop("wave")
+        wave_counts = due.filter(~F.col("is_retry")).groupBy("domain") \
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        if prior_counts is not None:
+            wave_counts = wave_counts.unionByName(prior_counts) \
+                .groupBy("domain").agg(F.sum("cnt").alias("cnt"))
+
+        # the fetched audit and counts snapshot depend only on the extracted
+        # checkpoint / the due split — start them NOW on a side thread so
+        # they overlap the schedule/admission stages instead of contending
+        # with the frontier write at end of wave
+        from concurrent.futures import ThreadPoolExecutor
+        early_pool = ThreadPoolExecutor(max_workers=1)
+
+        def _early_lane():
+            _timed("fetched", self.store.write_wave, "fetched", w, fetched_out)
+            _timed("counts", self.store.write_wave, "counts", w,
+                   wave_counts.withColumn("wave", F.lit(w)))
+
+        early_fut = early_pool.submit(_early_lane)
 
         _tick("fetched_audit_build")
         # candidate generation: links (T1/T3) + redirect children (T6)
@@ -581,11 +614,6 @@ class WaveCrawler:
 
         events = extracted.select("seq", "domain", "is_retry")
         seen = self.store.read_all("seen", w)
-        # counts snapshots are cumulative merged totals: read the newest one
-        prior_counts = None
-        lastc = self.store.last_wave("counts", w - 1)
-        if lastc is not None:
-            prior_counts = self.store.read_wave("counts", lastc).drop("wave")
 
         sched = W.schedule_wave(
             candidates, retries, events, seen,
@@ -664,47 +692,32 @@ class WaveCrawler:
         dis_out = (sched["disallowed"].coalesce(out_parts) if n_dis
                    else self.spark.createDataFrame(
                        [], "url string, reason string, wave_ts_ms long"))
-        # counter updates (A1/A2); processed/retried totals came from the
-        # politeness stats aggregate
-        wave_counts = due.filter(~F.col("is_retry")).groupBy("domain") \
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        if prior_counts is not None:
-            wave_counts = wave_counts.unionByName(prior_counts) \
-                .groupBy("domain").agg(F.sum("cnt").alias("cnt"))
-        from concurrent.futures import ThreadPoolExecutor
-
-        def _timed(label, fn, *a):
-            ts = time.monotonic()
-            fn(*a)
-            if _timing:
-                print(f"WAVETIME wave={w} write:{label}="
-                      f"{time.monotonic() - ts:.2f}s", flush=True)
-
         # two-lane write pool: measured on this box, 6 concurrent Spark jobs
         # at local[16] take MORE wall than running them serially (fair-share
         # scheduling slices every job thin and the driver threads contend on
         # the GIL for the Arrow collect inside bloom_absorb).  One lane runs
         # the single heavy job (frontier = assign_seq shuffle + write), the
-        # other drains the cheap appends serially — 2 jobs in flight max.
+        # other drains the cheap appends serially — 2 jobs in flight max
+        # (fetched/counts already ran on the early lane, overlapped with the
+        # admission stages).
         def _light_lane():
             _timed("seen", self.store.write_wave, "seen", w + 1, seen_out)
             _timed("disallowed", self.store.write_wave,
                    "disallowed", w + 1, dis_out)
-            _timed("fetched", self.store.write_wave, "fetched", w, fetched_out)
-            _timed("counts", self.store.write_wave, "counts", w,
-                   wave_counts.withColumn("wave", F.lit(w)))
             _timed("bloom_absorb", self._absorb_seen_wave,
                    w + 1, sched["seen_add"], n_seen_add,
                    state.seen_count + n_seen_add)
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            futs = [
-                pool.submit(_timed, "frontier", self.store.write_wave,
-                            "frontier", w + 1, next_frontier),
-                pool.submit(_light_lane),
-            ]
-            for f in futs:
-                f.result()
+        with early_pool:
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(_timed, "frontier", self.store.write_wave,
+                                "frontier", w + 1, next_frontier),
+                    pool.submit(_light_lane),
+                ]
+                for f in futs:
+                    f.result()
+            early_fut.result()
         sched["cand_cache"].unpersist(False)
 
         _tick("wave_writes")
