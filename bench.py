@@ -48,9 +48,9 @@ def bench_crawl(spark, cpus: int) -> dict:
     from abot_spark.crawler import WaveCrawler
     from abot_spark.sources.synthetic_web import generate_web, write_parquet
 
-    n_domains = int(os.environ.get("BENCH_CRAWL_DOMAINS", "40"))
-    sections = int(os.environ.get("BENCH_CRAWL_SECTIONS", "8"))
-    leaves = int(os.environ.get("BENCH_CRAWL_LEAVES", "10"))
+    n_domains = int(os.environ.get("BENCH_CRAWL_DOMAINS", "80"))
+    sections = int(os.environ.get("BENCH_CRAWL_SECTIONS", "10"))
+    leaves = int(os.environ.get("BENCH_CRAWL_LEAVES", "14"))
 
     fx = generate_web(n_domains=n_domains, sections=sections, leaves=leaves,
                       zipf=True, with_fixtures=False)
