@@ -92,6 +92,15 @@ class WaveCrawler:
         # memory it saves (see CrawlConfig.cache_compressed)
         self.spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed",
                             "true" if self.cfg.cache_compressed else "false")
+        # AQE coalescing merges shuffles by BYTE size, blind to the Python
+        # CPU behind them: it shrank the fetch-join output to ~10 partitions
+        # (a few MB of frontier rows each), the extract localCheckpoint froze
+        # that, and the link-UDF stage — the wave's dominant CPU — ran as 10
+        # long tasks with multi-second stragglers (measured: 5.1/8 cores busy
+        # at local[8]).  The engine sizes its shuffles explicitly (nparts),
+        # so keep AQE's skew-split but not its coalescing.
+        self.spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false")
         # The fetch join must broadcast the *frontier* side — shuffling the
         # html-bearing corpus is GBs per wave vs MBs of frontier rows.  (At
         # 10^10-URL scale with an Iceberg corpus this becomes a storage-

@@ -119,6 +119,13 @@ def assign_seq(df: DataFrame, order_cols: list[str], start: int,
         return df.coalesce(1).withColumn(
             seq_col,
             (F.lit(start) - 1 + F.row_number().over(w_all)).cast("long"))
+    # More buckets than shuffle partitions: the window shuffle assigns
+    # buckets to partitions by hash(_pid) % shuffle.partitions, and with
+    # buckets == partitions the birthday collisions leave ~1/3 of the
+    # partitions empty and others with double load (measured: 6.9 s max
+    # task vs 3.8 s mean on an 11.5M-row admit).  4x oversubscription
+    # evens the assignment; the offsets table stays tiny (4P rows).
+    num_partitions = max(int(num_partitions), 1) * 4
     if range_hint is not None:
         hcol, lo, hi = range_hint
         span = max(int(hi) - int(lo), 1)
