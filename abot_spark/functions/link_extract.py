@@ -106,6 +106,14 @@ _END_RE = {
 _ATTR_RE = re.compile(
     r"([a-zA-Z_][-.:\w]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?")
 
+# fast path for the dominant anchor shape ``<a href="...">`` — exactly one
+# double-quoted href attribute, nothing else, no entities.  Anything that
+# doesn't fullmatch (extra attrs, single quotes, entities, rel=...) falls
+# through to the generic attr parser; parity is pinned by the
+# HyperlinkParserTest matrix + the scanner-vs-html.parser differential
+# fuzz test in tests/test_link_extract.py.
+_HREF_ONLY_RE = re.compile(r"\s+href\s*=\s*\"([^\"&<>]*)\"\s*/?\Z", re.I)
+
 
 def scan_html(html_text: str) -> _LinkCollector:
     """Same contract as :func:`parse_html`, regex-scanner backend."""
@@ -129,6 +137,13 @@ def scan_html(html_text: str) -> _LinkCollector:
         tag = m.group("tag")
         if tag is None:
             continue  # comment
+        attrs_s = m.group("attrs")
+        if tag in ("a", "A", "area", "AREA"):
+            fm = _HREF_ONLY_RE.fullmatch(attrs_s)
+            if fm is not None:
+                (doc.a_hrefs if tag in ("a", "A") else doc.area_hrefs
+                 ).append((fm.group(1), None))
+                continue
         attrs: list[tuple[str, str | None]] = []
         for am in _ATTR_RE.finditer(m.group("attrs")):
             val = am.group(2)

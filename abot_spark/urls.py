@@ -216,6 +216,18 @@ def absolutize(base_url: str, href: str, respect_fragment: bool = False) -> str 
         # RFC 3986 §5.3 merge is just scheme://authority + href; dot
         # segments are normalized by canonicalize anyway, so this equals
         # urljoin without re-parsing the base for every href
+        origin = _canonical_origin(base_url)
+        if origin is not None:
+            # origin is proven canonical (cached per base); the join is
+            # canonical iff the href part passes the same cleanliness
+            # checks _fast_canonical applies to a path — skipping the
+            # full-string re-validation canonicalize would repeat per link
+            if ("\t" not in href and "\n" not in href and "\r" not in href
+                    and "#" not in href):
+                q = href.find("?")
+                p = href if q < 0 else href[:q]
+                if "/." not in p and q != len(href) - 1:
+                    return origin + href
         base = _split_cached(base_url)
         if base is not None and base.scheme.lower() in _DEFAULT_PORTS:
             return canonicalize(f"{base.scheme}://{base.netloc}{href}")
@@ -224,6 +236,25 @@ def absolutize(base_url: str, href: str, respect_fragment: bool = False) -> str 
     except ValueError:
         return None
     return canonicalize(joined)
+
+
+@lru_cache(maxsize=4096)
+def _canonical_origin(base_url: str) -> str | None:
+    """``scheme://authority`` of ``base_url``, returned only when it is
+    *provably already canonical* (clean lowercase http(s) host, no port/
+    userinfo) — cached per base so path-absolute hrefs join without
+    re-validating the host once per link.  Anything uncertain returns
+    ``None`` and the caller takes the full canonicalize path."""
+    base = _split_cached(base_url)
+    if base is None:
+        return None
+    scheme = base.scheme.lower()
+    if scheme not in _DEFAULT_PORTS:
+        return None
+    origin = f"{scheme}://{base.netloc}"
+    if _fast_canonical(origin) != origin + "/":
+        return None
+    return origin
 
 
 @lru_cache(maxsize=4096)
