@@ -28,11 +28,14 @@ Methodology (why the knobs below exist — all measured on this sandbox):
   low/high; ``--out`` merges with an existing file keeping the best
   (least-stolen) rep per level, so the evidence can accumulate across a
   long session and use whichever host windows were healthiest.
-* **Python workers double the thread count.** A UDF stage at local[N]
-  runs N JVM task threads + N Python workers; at local[16] that is 32 hot
-  threads — beyond the host's healthy ~24-core effective capacity, which
-  caps measured scaling regardless of the plan.  Levels 2→8 (4→16
-  threads in UDF stages) stay inside capacity; that is the default.
+* **CPU pinning (taskset) bounds each level to exactly N cores.**
+  ``local[N]`` only bounds concurrent *tasks*: python UDF workers run on
+  free host cores beside the N JVM task threads, and the low level leaks
+  proportionally more extra compute (measured 2.5 cores busy at unpinned
+  local[2] vs 8.5 at local[8]) — understating scaling.  A real N-core
+  executor is cgroup-capped, so each rep runs under
+  ``taskset -c 0-(N-1)``: the faithful N-vs-4N-cores proxy.  Levels 2→8
+  also stay far inside the host's healthy ~24-core effective capacity.
 
 Usage: python tools/bench_scaling.py [--low 2] [--high 8] [--out SCALING.json]
 Writes JSON to stdout; bench.py embeds SCALING.json in its per-round line.
@@ -54,6 +57,20 @@ WORKER = r"""
 import json, os, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+
+CGROUP = sys.argv[4] if len(sys.argv) > 4 else ""
+
+
+def join_cgroup(path):
+    # join the CFS-quota cgroup: every child spawned AFTER this (JVM,
+    # python workers) inherits membership, so the whole level is capped at
+    # N cores of CPU TIME across all host cores — how YARN/K8s cap a real
+    # N-core executor — without the cache-thrash a hard core-affinity pin
+    # causes.  The host-health probes run OUTSIDE the quota (before the
+    # join / after escaping back to the root cgroup), so host_speed keeps
+    # measuring the HOST, not our own cap.
+    with open(path + "/cgroup.procs", "a") as _f:
+        _f.write(str(os.getpid()))
 
 
 def probe_host(n_procs=None, secs=1.5):
@@ -80,6 +97,8 @@ def probe_host(n_procs=None, secs=1.5):
 
 
 probe_before = probe_host()
+if CGROUP:
+    join_cgroup(CGROUP)
 from pyspark.sql import SparkSession
 from abot_spark.config import CrawlConfig
 from abot_spark.crawler import WaveCrawler
@@ -124,6 +143,8 @@ state = crawler.crawl(seeds, max_waves=1)   # one full wave over all pages
 total = time.monotonic() - t0
 m = state.metrics[0]
 spark.stop()
+if CGROUP:
+    join_cgroup("/sys/fs/cgroup/cpu")   # escape back to the root cgroup
 probe_after = probe_host()
 print(json.dumps({{"cpus": cpus, "pages": m["due"],
                   "wave_ms": m["wall_ms"], "total_s": round(total, 2),
@@ -165,10 +186,33 @@ def host_effective_cores() -> float:
     return 0.0
 
 
+def _cpu_cgroup(cpus: int) -> str:
+    """CFS-quota cgroup capping the whole process tree at ``cpus`` cores
+    of CPU time (over all host cores — no affinity pin).  ``local[N]``
+    alone only bounds concurrent TASKS: python UDF workers run on free
+    host cores beside the N JVM threads, and the low level leaks
+    proportionally more (measured 2.5 cores busy at unpinned local[2] vs
+    8.5 at local[8]), understating scaling.  A hard taskset pin
+    over-corrects: 16 hot threads time-slicing on exactly 8 cores
+    measurably inflated CPU-seconds ~50% (cache thrash).  The CFS quota
+    is how YARN/K8s actually cap an N-core executor."""
+    cg = f"/sys/fs/cgroup/cpu/abot-scale-{cpus}"
+    os.makedirs(cg, exist_ok=True)
+    with open(cg + "/cpu.cfs_period_us", "w") as f:
+        f.write("100000")
+    with open(cg + "/cpu.cfs_quota_us", "w") as f:
+        f.write(str(cpus * 100000))
+    return cg
+
+
 def run_one(cpus: int, nparts: int, data_dir: str) -> dict:
     script = WORKER.format(repo=REPO)
+    try:
+        cg = _cpu_cgroup(cpus)
+    except OSError:
+        cg = ""   # no cgroup control (unprivileged sandbox): run unbounded
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), str(nparts), data_dir],
+        [sys.executable, "-c", script, str(cpus), str(nparts), data_dir, cg],
         capture_output=True, text=True, timeout=3600)
     for line in out.stdout.strip().splitlines()[::-1]:
         if line.startswith("{"):

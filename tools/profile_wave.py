@@ -21,6 +21,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
 import json, os, sys, tempfile, time
+if len(sys.argv) > 4 and sys.argv[4]:
+    with open(sys.argv[4] + "/cgroup.procs", "a") as _f:
+        _f.write(str(os.getpid()))   # CFS-quota cap (see bench_scaling.py)
 sys.path.insert(0, {repo!r})
 os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
 os.environ["ABOT_WAVE_TIMING"] = "1"
@@ -88,9 +91,15 @@ def main():
     script = WORKER.format(repo=REPO)
     for cpus in [int(c) for c in args.cpus.split(",")]:
         print(f"\n=== local[{cpus}] ===", flush=True)
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from bench_scaling import _cpu_cgroup
+        try:
+            cg = _cpu_cgroup(cpus)
+        except OSError:
+            cg = ""
         out = subprocess.run(
             [sys.executable, "-c", script, str(cpus), str(args.nparts),
-             data_dir],
+             data_dir, cg],
             capture_output=True, text=True, timeout=3600)
         for line in out.stdout.strip().splitlines():
             if line.startswith(("WAVETIME", "{")):
