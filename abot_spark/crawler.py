@@ -23,7 +23,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BooleanType, IntegerType, LongType, StringType, StructField, StructType,
+    BooleanType, IntegerType, LongType, MapType, StringType, StructField,
+    StructType,
 )
 
 from abot_spark.config import CrawlConfig
@@ -47,6 +48,11 @@ FRONTIER_SCHEMA = StructType([
     StructField("redirected_from", StringType()),
     StructField("redirect_position", IntegerType()),
     StructField("is_internal", BooleanType()),
+    # PageBag (PageToCrawl.cs:115): user values riding with the page; NULL
+    # encodes the empty bag.  Carried frontier → fetched (T7 field map /
+    # CombinePageBags, WebCrawler.cs:1055, :1067-1078), preserved across
+    # retries (same object re-enqueued), fresh for link/redirect children.
+    StructField("page_bag", MapType(StringType(), StringType())),
     StructField("not_before_ms", LongType()),
     StructField("is_root", BooleanType()),
     StructField("seq", LongType()),
@@ -191,7 +197,9 @@ class WaveCrawler:
                 self.cfg.max_memory_usage_cache_time_in_seconds)
         return self.memory_monitor
 
-    def crawl(self, seed_urls: list[str], max_waves: int = 1000) -> CrawlState:
+    def crawl(self, seed_urls: list[str], max_waves: int = 1000,
+              seed_page_bags: dict[str, dict[str, str]] | None = None
+              ) -> CrawlState:
         # A4 start gate (WebCrawler.cs:544-560): refuse to begin unless the
         # host can supply MinAvailableMemoryRequiredInMb
         req = self.cfg.min_available_memory_required_in_mb
@@ -213,7 +221,17 @@ class WaveCrawler:
         t0 = time.monotonic()
         self._prepare(state)
         t1 = time.monotonic()
-        self._seed_frontier(seeds, state)
+        bags = None
+        if seed_page_bags:
+            # PageBag entrypoint (the event-subscriber mutation surface of
+            # the reference, PageToCrawl.cs:111-115): caller-keyed by the
+            # pre-canonicalization seed URL or its canonical form
+            bags = {}
+            for u, bag in seed_page_bags.items():
+                cu = canonicalize(u)
+                if cu is not None:
+                    bags[cu] = dict(bag)
+        self._seed_frontier(seeds, state, bags)
         t2 = time.monotonic()
         if _timing:
             print(f"WAVETIME prepare={t1-t0:.2f}s seed={t2-t1:.2f}s",
@@ -307,7 +325,9 @@ class WaveCrawler:
 
     # -- seeding (S1: StartCrawlRootPage, WebCrawler.cs:480-495) -------------
 
-    def _seed_frontier(self, seeds: list[str], state: CrawlState) -> None:
+    def _seed_frontier(self, seeds: list[str], state: CrawlState,
+                       page_bags: dict[str, dict[str, str]] | None = None
+                       ) -> None:
         cfg = self.cfg
         # root-disallow escape hatch (F6) is evaluated driver-side, exactly
         # like PoliteWebCrawler.ShouldCrawlPage for IsRoot pages (:191-227)
@@ -333,10 +353,12 @@ class WaveCrawler:
         rows = []
         for i, s in enumerate(seeds):
             rows.append((s, authority(s),
-                         self._path_of(s), s, 0, 0, 1, i))
+                         self._path_of(s), s, 0, 0, 1, i,
+                         (page_bags or {}).get(s)))
         cand = self.spark.createDataFrame(
             rows, "url string, domain string, path string, parent_url string,"
-                  " parent_seq long, depth int, kind int, pos int"
+                  " parent_seq long, depth int, kind int, pos int,"
+                  " page_bag map<string,string>"
         ).withColumn("is_retry", F.lit(False)) \
          .withColumn("retry_count", F.lit(0)) \
          .withColumn("redirected_from", F.lit(None).cast("string")) \
@@ -569,6 +591,10 @@ class WaveCrawler:
             "url", "seq", "depth", "parent_url", "status_code", "charset",
             *text_cols, "domain", "is_retry", "retry_count", "response_url",
             "links_reason", "task_partition_id",
+            # T7 CombinePageBags (WebCrawler.cs:1055, :1067-1078): the fresh
+            # CrawledPage's bag is empty, so the merged bag IS the frontier
+            # row's bag — carried through the fetch join onto the audit
+            "page_bag",
             F.lit(w).alias("wave"), F.lit(wave_ts).alias("wave_ts_ms"),
         )
 

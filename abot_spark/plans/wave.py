@@ -75,6 +75,11 @@ from abot_spark.functions.udfs import (
 
 ORD = ["parent_seq", "kind", "pos"]  # serial enqueue order within a wave
 
+# PageBag (PageToCrawl.cs:115, merged in MapPageToCrawlToCrawledPage at
+# WebCrawler.cs:1055 via CombinePageBags :1067-1078): user-attached values
+# riding with a page.  NULL = the empty bag (a fresh ExpandoObject).
+PAGE_BAG_TYPE = "map<string,string>"
+
 
 # ---------------------------------------------------------------------------
 # seq assignment — scalable zipWithIndex (SURVEY.md §4.3)
@@ -451,6 +456,10 @@ def explode_links(extracted: DataFrame, cfg: CrawlConfig) -> DataFrame:
         .withColumn("retry_count", F.lit(0))
         .withColumn("redirected_from", F.lit(None).cast("string"))
         .withColumn("redirect_position", F.lit(0))
+        # child pages start with a fresh (empty) PageBag — a new
+        # PageToCrawl's bag is a new ExpandoObject (PageToCrawl.cs:115);
+        # NULL encodes the empty bag so the hot path shuffles no map bytes
+        .withColumn("page_bag", F.lit(None).cast(PAGE_BAG_TYPE))
     )
 
 
@@ -477,6 +486,9 @@ def redirect_candidates(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
         F.lit(0).alias("retry_count"),
         F.col("url").alias("redirected_from"),
         (F.col("redirect_position") + 1).alias("redirect_position"),
+        # redirect child = a brand-new PageToCrawl (ProcessRedirect,
+        # WebCrawler.cs:765-773) — its PageBag starts empty, not inherited
+        F.lit(None).cast(PAGE_BAG_TYPE).alias("page_bag"),
     )
 
 
@@ -505,6 +517,10 @@ def retry_candidates(fetched: DataFrame, cfg: CrawlConfig,
     delay_ms = F.greatest(
         retry_after_s * 1000, F.lit(cfg.min_retry_delay_in_milliseconds)
     )
+    # a retry re-enqueues the SAME page object (ProcessPage :729-733), so
+    # its PageBag rides along — unlike link/redirect children
+    bag = (F.col("page_bag") if "page_bag" in failed.columns
+           else F.lit(None).cast(PAGE_BAG_TYPE))
     return failed.select(
         "url", "domain", "path",
         F.col("seq").alias("parent_seq"),
@@ -518,6 +534,7 @@ def retry_candidates(fetched: DataFrame, cfg: CrawlConfig,
         F.lit(0).alias("redirect_position"),
         (F.lit(wave_ts_ms) + delay_ms).alias("not_before_ms"),
         "is_internal",
+        bag.alias("page_bag"),
     )
 
 
@@ -559,6 +576,9 @@ def schedule_wave(
     redirected_from, redirect_position.
     """
     spark = candidates.sparkSession
+    if "page_bag" not in candidates.columns:
+        candidates = candidates.withColumn(
+            "page_bag", F.lit(None).cast(PAGE_BAG_TYPE))
     cand = candidates.withColumn("url_hash", F.xxhash64("url"))
 
     # -- known-URL pre-check (T5): accumulated seen + in-wave first-occurrence
@@ -714,6 +734,9 @@ def schedule_wave(
 
     if retries is not None:
         retries = retries.withColumn("url_hash", F.xxhash64("url"))
+        if "page_bag" not in retries.columns:
+            retries = retries.withColumn(
+                "page_bag", F.lit(None).cast(PAGE_BAG_TYPE))
 
     budget_denied = F.lit(False)
     if cfg.max_pages_active:
@@ -800,7 +823,7 @@ def schedule_wave(
         "url", "url_hash", "domain", "path",
         F.col("parent_url"), "parent_seq", "depth", "kind", "pos",
         "is_retry", "retry_count", "redirected_from", "redirect_position",
-        "is_internal",
+        "is_internal", "page_bag",
         F.lit(wave_ts_ms).alias("not_before_ms"),
         F.lit(False).alias("is_root"),
     )

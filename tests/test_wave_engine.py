@@ -104,6 +104,33 @@ def test_retry_order_parity(spark, web):
     assert state.crawled_count == serial.crawled_count
 
 
+def test_page_bag_carry_retry_and_children(spark, web):
+    """PageBag (``PageToCrawl.cs:111-115``): seed bags ride the frontier
+    into the fetched audit (T7 ``CombinePageBags``, ``WebCrawler.cs:1055,
+    :1067-1078`` — the fresh CrawledPage bag is empty so the merge is a
+    carry-through), survive retries (the same page object re-enters the
+    queue, ``ProcessPage`` :729-733), and are NOT inherited by link or
+    redirect children (a new PageToCrawl starts with a fresh bag)."""
+    cfg = BASE_CFG.with_(max_retry_count=2)
+    wdir = tempfile.mkdtemp(prefix="abot-crawl-")
+    crawler = WaveCrawler(spark, cfg, wdir, web["pages"], web["robots"])
+    err = "http://d0.example.com/err"   # 503 + WebException -> retried
+    state = crawler.crawl(
+        [SEED, err],
+        seed_page_bags={SEED: {"who": "root"},
+                        err: {"who": "err", "k": "v"}})
+    rows = crawler.store.read_all("fetched", state.wave).collect()
+    err_rows = [r for r in rows if r["url"] == err]
+    assert any(r["is_retry"] for r in err_rows)   # the retry actually ran
+    for r in err_rows:   # initial attempt AND every retry keep the bag
+        assert dict(r["page_bag"]) == {"who": "err", "k": "v"}
+    for r in rows:
+        if r["url"] == SEED:
+            assert dict(r["page_bag"]) == {"who": "root"}
+        elif r["url"] != err:   # children: fresh (empty) bag
+            assert not r["page_bag"]
+
+
 def test_max_depth(spark, web):
     cfg = BASE_CFG.with_(max_crawl_depth=1)
     serial = SerialCrawler(web["fx"], cfg).crawl(SEED)
