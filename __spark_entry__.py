@@ -36,7 +36,9 @@ from abot_spark.operators.decisions import (
 from abot_spark.ops import dedup as D
 from abot_spark.ops import similarity as S
 from abot_spark.ops import textstats as T
-from abot_spark.ops.multimodal import extract_media_features, synth_media
+from abot_spark.ops.multimodal import (
+    extract_media_features, resize_images, sample_frames, synth_media,
+)
 
 CFG = CrawlConfig()
 
@@ -484,6 +486,26 @@ def q_media_features(spark, sf_dir):
         .orderBy("doc_id")
 
 
+def q_media_resize(spark, sf_dir):
+    """Image-resize plumbing (mapInPandas, binary→binary; pixel work
+    stubbed to first-out_w*out_h-bytes so the oracle is exact)."""
+    return resize_images(synth_media(_docs(spark, sf_dir)), max_dim=16) \
+        .select("doc_id", "media_type", "is_decodable", "src_width",
+                "src_height", "out_width", "out_height",
+                F.length("thumb").cast("int").alias("thumb_len"),
+                "thumb_sum") \
+        .orderBy("doc_id")
+
+
+def q_media_frames(spark, sf_dir):
+    """Video frame-sampling plumbing (mapInPandas 1→N expansion; codec
+    stubbed to fixed-size payload slices so the oracle is exact)."""
+    return sample_frames(synth_media(_docs(spark, sf_dir)),
+                         frame_bytes=64, every=4, frame_ms=40) \
+        .select("doc_id", "frame_idx", "ts_ms", "frame_len", "frame_sum") \
+        .orderBy("doc_id", "frame_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_seen_antijoin": q_crawl_seen_antijoin,
@@ -518,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udf_text_extract": q_udf_text_extract,
         "udf_link_extract": q_udf_link_extract,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
     }
 
 
@@ -540,6 +564,30 @@ def _simhash_sql(bits: int = 16) -> str:
 def _minhash_sig_sql(i: int, n: int = 3) -> str:
     return (f"list_min(list_transform({_shingles_sql(n)},"
             f" s -> md5('{i}:' || s)))")
+
+
+def _bytesum_sql(hex_expr: str) -> str:
+    """Byte-sum of a blob given its (uppercase) hex string — DuckDB here
+    lacks blob slicing, so all blob math runs over hex() output."""
+    return (
+        f"COALESCE(list_sum(list_transform("
+        f"generate_series(1, CAST(length({hex_expr})/2 AS INT)), "
+        f"i -> 16*(strpos('0123456789ABCDEF', substr({hex_expr}, 2*i-1, 1))-1)"
+        f" + (strpos('0123456789ABCDEF', substr({hex_expr}, 2*i, 1))-1))), 0)"
+    )
+
+
+# synth_media's blob, reconstructed as a hex string (PNG magic prefix for
+# every third row, first-16-chars payload otherwise) — shared by the
+# media_resize / media_frames oracles
+_MEDIA_HX_SQL = """
+  SELECT doc_id,
+         doc_id % 3 = 0 AS png,
+         CASE WHEN doc_id % 3 = 0
+              THEN hex(from_hex('89504E470D0A1A0A') || encode(text))
+              ELSE hex(encode(substr(text, 1, 16))) END AS hx
+  FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -938,6 +986,63 @@ def oracle_sql() -> dict[str, str]:
                           THEN CAST(bsum AS DOUBLE) / blen
                         ELSE NULL END AS feature_mean
             FROM b ORDER BY doc_id""",
+        # media_resize: stub decode makes dims a pure function of the
+        # bytes (w = 1 + bytesum % 64, h = 1 + len % 64) and the 'resize'
+        # a byte-prefix, so the whole binary path is SQL-exact
+        "media_resize": f"""
+            WITH m AS ({_MEDIA_HX_SQL}
+            ), b AS (
+              SELECT doc_id, png, hx,
+                     CAST(length(hx)/2 AS INT) AS blen,
+                     CAST({_bytesum_sql('hx')} AS BIGINT) AS bsum
+              FROM m
+            ), d AS (
+              SELECT doc_id, png, hx, blen,
+                     (png OR substr(hx, 1, 8) = '52494646'
+                          OR substr(hx, 1, 8) = 'FFD8FFE0') AS ok,
+                     CAST(1 + bsum % 64 AS INT) AS w,
+                     CAST(1 + blen % 64 AS INT) AS h
+              FROM b
+            ), r AS (
+              SELECT doc_id, png, hx, blen, ok, w, h,
+                     CASE WHEN greatest(w, h) <= 16 THEN w
+                          ELSE greatest(1, w * 16 // greatest(w, h))
+                          END AS ow,
+                     CASE WHEN greatest(w, h) <= 16 THEN h
+                          ELSE greatest(1, h * 16 // greatest(w, h))
+                          END AS oh
+              FROM d
+            )
+            SELECT doc_id,
+                   CASE WHEN png THEN 'image/png'
+                        ELSE 'application/octet-stream' END AS media_type,
+                   ok AS is_decodable,
+                   CASE WHEN ok THEN w END AS src_width,
+                   CASE WHEN ok THEN h END AS src_height,
+                   CASE WHEN ok THEN ow END AS out_width,
+                   CASE WHEN ok THEN oh END AS out_height,
+                   CASE WHEN ok THEN least(blen, ow * oh) END AS thumb_len,
+                   CASE WHEN ok THEN CAST(
+                     {_bytesum_sql('substr(hx, 1, 2 * ow * oh)')}
+                     AS BIGINT) END AS thumb_sum
+            FROM r ORDER BY doc_id""",
+        # media_frames: stub codec = fixed 64-byte payload slices, every
+        # 4th frame at 40 ms/frame — exact over the hex expansion
+        "media_frames": f"""
+            WITH m AS ({_MEDIA_HX_SQL}
+            ), f AS (
+              SELECT doc_id, i AS frame_idx,
+                     substr(hx, i*128 + 1, 128) AS fhex
+              FROM m, UNNEST(generate_series(0,
+                     CAST(ceil(length(hx)/128.0) AS INT) - 1)) AS u(i)
+              WHERE i % 4 = 0
+            )
+            SELECT doc_id,
+                   CAST(frame_idx AS INT) AS frame_idx,
+                   CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
+                   CAST(length(fhex)/2 AS INT) AS frame_len,
+                   CAST({_bytesum_sql('fhex')} AS BIGINT) AS frame_sum
+            FROM f ORDER BY doc_id, frame_idx""",
     }
 
 

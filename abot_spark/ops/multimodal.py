@@ -33,6 +33,13 @@ MEDIA_SCHEMA = ("doc_id long, media binary, media_type string, "
 FEATURE_SCHEMA = ("doc_id long, media_type string, n_bytes long, "
                   "is_decodable boolean, feature_mean double")
 
+RESIZE_SCHEMA = ("doc_id long, media_type string, is_decodable boolean, "
+                 "src_width int, src_height int, out_width int, "
+                 "out_height int, thumb binary, thumb_sum long")
+
+FRAME_SCHEMA = ("doc_id long, frame_idx int, ts_ms long, frame binary, "
+                "frame_len int, frame_sum long")
+
 
 def _decode_image(data: bytes) -> dict:
     """STUB: real deployments decode via PIL/libvips here.
@@ -63,6 +70,91 @@ def extract_media_features(media_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def _decode_dims(data: bytes) -> tuple[int, int] | None:
+    """STUB dimension decode (real deployments read the codec header).
+
+    Deterministic fake: width/height derived from the byte-sum and
+    length, so the resize math downstream is exact and SQL-checkable."""
+    if not data or data[:4] not in (b"\x89PNG", b"RIFF", b"\xff\xd8\xff\xe0"):
+        return None
+    return 1 + sum(data) % 64, 1 + len(data) % 64
+
+
+def resize_images(media_df: DataFrame, max_dim: int = 16) -> DataFrame:
+    """Fit each decodable image inside ``max_dim`` × ``max_dim`` (aspect
+    preserved, integer math) via one ``mapInPandas`` pass.
+
+    The pixel work is STUBBED: the 'thumbnail' is the first
+    ``out_w*out_h`` payload bytes — a real deployment swaps PIL's
+    ``Image.thumbnail`` into the same batch loop.  Binary-in →
+    binary-out is the Spark plumbing under test: thumb rides out as a
+    ``binary`` column plus its byte-sum so parity checks stay numeric."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "media_type", "is_decodable",
+                                   "src_width", "src_height", "out_width",
+                                   "out_height", "thumb", "thumb_sum")}
+            for doc_id, blob, mtype in zip(
+                    pdf["doc_id"], pdf["media"], pdf["media_type"]):
+                data = bytes(blob) if blob is not None else b""
+                dims = _decode_dims(data)
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mtype)
+                out["is_decodable"].append(dims is not None)
+                if dims is None:
+                    for k in ("src_width", "src_height", "out_width",
+                              "out_height", "thumb", "thumb_sum"):
+                        out[k].append(None)
+                    continue
+                w, h = dims
+                m = max(w, h)
+                ow, oh = ((w, h) if m <= max_dim else
+                          (max(1, w * max_dim // m), max(1, h * max_dim // m)))
+                thumb = data[:ow * oh]
+                out["src_width"].append(w)
+                out["src_height"].append(h)
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["thumb"].append(thumb)
+                out["thumb_sum"].append(sum(thumb))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def sample_frames(media_df: DataFrame, frame_bytes: int = 64,
+                  every: int = 4, frame_ms: int = 40) -> DataFrame:
+    """1→N frame sampling: each media payload explodes into every
+    ``every``-th frame, via one ``mapInPandas`` pass.
+
+    The codec is STUBBED: a 'frame' is a fixed ``frame_bytes`` slice of
+    the payload at 1000/``frame_ms`` fps — a real deployment swaps
+    pyav/ffmpeg keyframe extraction into the same loop.  The plumbing
+    under test is the row *expansion* inside an Arrow batch (the output
+    batch is bigger than the input batch), which is exactly how video →
+    frame-sample runs at 100 TB: no explode shuffle, no driver round-trip."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "frame_idx", "ts_ms", "frame",
+                                   "frame_len", "frame_sum")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(blob) if blob is not None else b""
+                n_frames = -(-len(data) // frame_bytes)   # ceil
+                for i in range(0, n_frames, every):
+                    fr = data[i * frame_bytes:(i + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * frame_ms)
+                    out["frame"].append(fr)
+                    out["frame_len"].append(len(fr))
+                    out["frame_sum"].append(sum(fr))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(batches, FRAME_SCHEMA)
 
 
 def synth_media(documents: DataFrame) -> DataFrame:

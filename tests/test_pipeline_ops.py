@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 from abot_spark.ops import dedup as D
 from abot_spark.ops import similarity as S
 from abot_spark.ops import textstats as T
-from abot_spark.ops.multimodal import extract_media_features, synth_media
+from abot_spark.ops.multimodal import (
+    extract_media_features, resize_images, sample_frames, synth_media,
+)
 
 
 @pytest.fixture(scope="module")
@@ -151,3 +153,45 @@ def test_media_features_stub_paths(spark, docs):
     assert feats[0]["is_decodable"] and feats[0]["feature_mean"] is not None
     assert not feats[1]["is_decodable"] and feats[1]["feature_mean"] is None
     assert feats[0]["n_bytes"] > 8
+
+
+def test_media_resize_fit_and_bytes(spark, docs):
+    rows = {r["doc_id"]: r for r in
+            resize_images(synth_media(docs), max_dim=16).collect()}
+    # decodable (doc 0, PNG magic): dims fit inside 16x16, aspect kept
+    r0 = rows[0]
+    assert r0["is_decodable"]
+    assert max(r0["out_width"], r0["out_height"]) <= 16
+    if max(r0["src_width"], r0["src_height"]) <= 16:
+        assert (r0["out_width"], r0["out_height"]) == \
+            (r0["src_width"], r0["src_height"])
+    # stub thumbnail = payload byte prefix; byte-sum rides as a column
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + "the quick brown fox jumps over the lazy dog".encode())
+    want = payload[:r0["out_width"] * r0["out_height"]]
+    assert bytes(r0["thumb"]) == want and r0["thumb_sum"] == sum(want)
+    # undecodable (doc 1, no magic): nulls across the board
+    r1 = rows[1]
+    assert not r1["is_decodable"] and r1["thumb"] is None \
+        and r1["out_width"] is None
+
+
+def test_media_frames_expansion(spark, docs):
+    frames = sample_frames(synth_media(docs), frame_bytes=8, every=2,
+                           frame_ms=40).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0 payload: 8-byte magic + 44 text bytes = 52 -> 7 frames, every
+    # 2nd sampled -> idx 0,2,4,6; last frame is the 4-byte tail
+    f0 = sorted(by_doc[0], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in f0] == [0, 2, 4, 6]
+    assert [r["ts_ms"] for r in f0] == [0, 80, 160, 240]
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + "the quick brown fox jumps over the lazy dog".encode())
+    for r in f0:
+        want = payload[r["frame_idx"] * 8:(r["frame_idx"] + 1) * 8]
+        assert bytes(r["frame"]) == want
+        assert r["frame_len"] == len(want) and r["frame_sum"] == sum(want)
+    # empty payload (doc 4, empty text -> 16-byte substr is '') -> no rows
+    assert 4 not in by_doc
