@@ -129,11 +129,24 @@ def main() -> None:
     # ``tools/bench_scaling.py --out SCALING.json`` (a separate ~20-min
     # run of the single-wave job at local[N] vs local[4N]); embedded here
     # so the per-round JSON line is self-contained.
-    scaling_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    scaling_path = os.path.join(repo, "SCALING.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             out["scaling"] = json.load(f)
+    # supplementary levels (headline fields only; raw reps stay in the
+    # JSON files — BENCH.md explains why 4->16 on one host flattens):
+    # the gated 4 vs 16 quota pair and the real multi-JVM spark-submit
+    # cluster pair (1 vs 4 executors)
+    for key, fname in (("scaling_4_16", "SCALING_4_16.json"),
+                       ("scaling_cluster", "SCALING_CLUSTER.json")):
+        p = os.path.join(repo, fname)
+        if os.path.exists(p):
+            with open(p) as f:
+                d = json.load(f)
+            out[key] = {k: d[k] for k in
+                        ("low", "high", "speedup", "scaling_efficiency")
+                        if k in d}
     print(json.dumps(out))
 
 

@@ -80,11 +80,12 @@ def ensure_cluster(total_cores: int, mem_gb: int) -> None:
            "SPARK_WORKER_DIR": os.path.join(SHM, "worker")}
     subprocess.run([f"{SPARK_HOME}/sbin/start-master.sh", "--host",
                     "127.0.0.1", "--port", "7077", "--webui-port", "8091"],
-                   env=env, check=True)
+                   env=env, check=True, stdout=sys.stderr)
     time.sleep(4)
     subprocess.run([f"{SPARK_HOME}/sbin/start-worker.sh", MASTER,
                     "--cores", str(total_cores), "--memory", f"{mem_gb}g",
-                    "--webui-port", "8092"], env=env, check=True)
+                    "--webui-port", "8092"], env=env, check=True,
+                   stdout=sys.stderr)
     time.sleep(4)
 
 

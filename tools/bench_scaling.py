@@ -28,14 +28,17 @@ Methodology (why the knobs below exist — all measured on this sandbox):
   low/high; ``--out`` merges with an existing file keeping the best
   (least-stolen) rep per level, so the evidence can accumulate across a
   long session and use whichever host windows were healthiest.
-* **CPU pinning (taskset) bounds each level to exactly N cores.**
-  ``local[N]`` only bounds concurrent *tasks*: python UDF workers run on
-  free host cores beside the N JVM task threads, and the low level leaks
-  proportionally more extra compute (measured 2.5 cores busy at unpinned
-  local[2] vs 8.5 at local[8]) — understating scaling.  A real N-core
-  executor is cgroup-capped, so each rep runs under
-  ``taskset -c 0-(N-1)``: the faithful N-vs-4N-cores proxy.  Levels 2→8
-  also stay far inside the host's healthy ~24-core effective capacity.
+* **A CFS-quota cgroup bounds each level to exactly N cores of CPU
+  time.** ``local[N]`` only bounds concurrent *tasks*: python UDF workers
+  run on free host cores beside the N JVM task threads, and the low level
+  leaks proportionally more extra compute (measured 2.5 cores busy at
+  unpinned local[2] vs 8.5 at local[8]) — understating scaling.  A real
+  N-core executor is cgroup-capped the same way by YARN/K8s (a hard
+  taskset core-affinity pin over-corrects: 16 hot threads time-slicing on
+  exactly 8 pinned cores measurably inflated CPU-seconds ~50%).  Levels
+  2→8 also stay far inside the host's healthy ~24-core effective
+  capacity; see BENCH.md for why 4→16 on this single host flattens for
+  reasons a real 4-node cluster does not share.
 
 Usage: python tools/bench_scaling.py [--low 2] [--high 8] [--out SCALING.json]
 Writes JSON to stdout; bench.py embeds SCALING.json in its per-round line.
