@@ -132,3 +132,65 @@ def test_discovery_rate_watermark_drops_late_events(spark):
         assert emitted == {2}                     # unchanged: late dropped
     finally:
         q.stop()
+
+
+def _drop_discovered(input_dir: str, name: str, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(
+        pa.table({"url": [r[0] for r in rows],
+                  "domain": [r[1] for r in rows],
+                  "discovered_ts": pa.array([r[2] for r in rows],
+                                            pa.timestamp("us", tz="UTC"))}),
+        os.path.join(input_dir, f"{name}.parquet"))
+
+
+def test_politeness_pacing_state_across_batches(spark):
+    """C3 as a custom stateful streaming operator
+    (``applyInPandasWithState``): one admission per delay window per
+    domain (``RateLimiter.cs:55-142``), window position carried in keyed
+    state ACROSS micro-batches and query restarts (checkpoint)."""
+    from abot_spark.streaming import politeness_pacing_stream
+
+    input_dir = tempfile.mkdtemp(prefix="abot-stream-pace-in-")
+    out_dir = tempfile.mkdtemp(prefix="abot-stream-pace-out-")
+    t0 = _ts(0)
+    t0_ms = int(t0.timestamp() * 1000)
+
+    # batch 1: three same-domain URLs at/near the same instant + one
+    # other-domain URL (independent state)
+    _drop_discovered(input_dir, "drop1", [
+        ("http://d0.example.com/a", "d0.example.com", t0),
+        ("http://d0.example.com/b", "d0.example.com", t0),
+        ("http://d0.example.com/c", "d0.example.com", _ts(0, 0)),
+        ("http://d1.example.com/x", "d1.example.com", t0),
+    ])
+    q = politeness_pacing_stream(spark, input_dir, out_dir,
+                                 default_delay_ms=1000,
+                                 delays={"d1.example.com": 250})
+    q.awaitTermination(120)
+    got = {r["url"]: r["fetch_at_ms"]
+           for r in spark.read.parquet(out_dir).collect()}
+    # deterministic (discovered_ts, url) order -> a, b, c spaced 1000 ms
+    assert got["http://d0.example.com/a"] == t0_ms
+    assert got["http://d0.example.com/b"] == t0_ms + 1000
+    assert got["http://d0.example.com/c"] == t0_ms + 2000
+    assert got["http://d1.example.com/x"] == t0_ms   # separate domain state
+
+    # batch 2, NEW query off the same checkpoint: a URL discovered at
+    # t0+500 must wait for the persisted window (t0+3000), proving the
+    # per-domain state survived the micro-batch boundary and restart
+    _drop_discovered(input_dir, "drop2", [
+        ("http://d0.example.com/d", "d0.example.com",
+         datetime(2026, 1, 1, 12, 0, 0, 500000, tzinfo=timezone.utc)),
+        ("http://d1.example.com/y", "d1.example.com", _ts(0, 1)),
+    ])
+    q2 = politeness_pacing_stream(spark, input_dir, out_dir,
+                                  default_delay_ms=1000,
+                                  delays={"d1.example.com": 250})
+    q2.awaitTermination(120)
+    got2 = {r["url"]: r["fetch_at_ms"]
+            for r in spark.read.parquet(out_dir).collect()}
+    assert got2["http://d0.example.com/d"] == t0_ms + 3000
+    # d1's window (t0+250) had already freed by t0+1000: admit at its ts
+    assert got2["http://d1.example.com/y"] == t0_ms + 1000
