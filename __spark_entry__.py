@@ -393,6 +393,7 @@ def q_text_tokens(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id", T.token_count_col(F.col("text")).alias("n_tokens"),
+        T.subword_count_col(F.col("text")).alias("n_subwords"),
         F.length("text").alias("n_chars_actual"),
     ).orderBy("doc_id")
 
@@ -885,11 +886,14 @@ def oracle_sql() -> dict[str, str]:
                    {', '.join(f'score_{k}' for k in T.LANG_MARKERS)},
                    {lang_pred} AS pred_lang
             FROM s ORDER BY doc_id""",
-        "text_tokens": """
+        "text_tokens": f"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '\\s+'))
                    END AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '{T.BPE_TOKEN_PATTERN.replace("'", "''")}'))
+                     AS n_subwords,
                    len(text) AS n_chars_actual
             FROM documents ORDER BY doc_id""",
         "text_fingerprint": f"""

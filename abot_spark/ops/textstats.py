@@ -36,6 +36,22 @@ def token_count_col(text: Column) -> Column:
         F.size(F.split(trimmed, r"\s+")))
 
 
+# GPT-2-style pretokenizer approximation: English contractions, letter
+# runs, digit runs, punctuation runs (each with an optional leading
+# space), lone apostrophes.  Deliberately lookaround-free and ASCII so
+# Java regex (Spark), RE2 (DuckDB) and Python `re` agree byte-for-byte —
+# the BPE-ish proxy for "how many subword tokens would this text cost".
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|'")
+
+
+def subword_count_col(text: Column) -> Column:
+    """BPE-ish token count via ``BPE_TOKEN_PATTERN`` (JVM-side regex —
+    no Python in the hot path); empty/null text -> 0."""
+    return F.size(F.regexp_extract_all(
+        F.coalesce(text, F.lit("")), F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
 def quality_cols(text: Column) -> dict[str, Column]:
     """Length / punctuation / stopword-ratio quality features."""
     t = F.coalesce(text, F.lit(""))

@@ -142,6 +142,20 @@ def test_textstats_columns(spark, docs):
     assert q[4]["n_tokens"] == 0 and q[4]["n_chars"] == 0
     assert q[0]["n_tokens"] == 9
     assert q[0]["stopword_ratio"] > 0
+    # BPE-ish subword counting: JVM regex must agree with python re
+    import re
+    sub = {r["doc_id"]: r["n_subwords"] for r in docs.select(
+        "doc_id", T.subword_count_col(F.col("text")).alias("n_subwords"))
+        .collect()}
+    for r in docs.collect():
+        assert sub[r["doc_id"]] == len(
+            re.findall(T.BPE_TOKEN_PATTERN, r["text"]))
+    assert sub[4] == 0
+    row = spark.createDataFrame(
+        [(99, "I'll say it's 42% done... naive, re-run")],
+        "doc_id long, text string").select(
+        T.subword_count_col(F.col("text")).alias("n")).first()
+    assert row["n"] == 14   # contractions split, runs grouped
     langid = {r["doc_id"]: r for r in T.lang_id(docs).collect()}
     assert langid[0]["pred_lang"] == "en"
     assert langid[5]["pred_lang"] == "de"
