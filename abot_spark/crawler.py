@@ -694,8 +694,15 @@ class WaveCrawler:
         n_dis = int(crow["n_dis"] or 0)
         # retry candidates live outside cand_cache; counting them is a
         # cheap scan of the extracted localCheckpoint (only when retries
-        # are configured at all)
-        n_retry_cand = retries.count() if retries is not None else 0
+        # are configured at all) — min(not_before_ms) rides along so the
+        # end-of-wave stats need no frontier re-read (see below)
+        n_retry_cand, retry_min_nb = 0, None
+        if retries is not None:
+            rrow = retries.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("not_before_ms").alias("min_nb")).first()
+            n_retry_cand = int(rrow["n"])
+            retry_min_nb = rrow["min_nb"]
         # cand_cache now holds the decided rows; the pre-decision base cache
         # has no consumer left — free ~one candidate-set of executor memory
         # before the write jobs need it
@@ -756,20 +763,26 @@ class WaveCrawler:
         sched["cand_cache"].unpersist(False)
 
         _tick("wave_writes")
-        # one aggregate for every next-frontier statistic the loop needs —
-        # skipped entirely when the admission counts already told us the
-        # next frontier is empty (last wave of every crawl)  # noqa: E501
-        if n_next_new == 0 and n_deferred == 0:
-            nrow = {"n": 0, "nr": 0, "min_due": None}
-        else:
-            nrow = self.store.read_wave("frontier", w + 1).agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("is_retry").cast("int")).alias("nr"),
-                F.min("not_before_ms").alias("min_due"),
-            ).first()
-        n_frontier_next = nrow["n"]
+        # every next-frontier statistic the loop needs is already known —
+        # no re-read of the just-written frontier:
+        #   row count       = admitted links + retry candidates + deferred
+        #   retry count     = retry candidates + retries among deferred
+        #   min not_before  = only consulted when NO link was admitted
+        #     (admitted links carry not_before = wave_ts + elapsed, which
+        #     never exceeds the advanced sim clock), so min over (retry
+        #     candidates, deferred) — both aggregated upstream — covers it
+        d_def = stats.get(False)
+        n_frontier_next = n_next_new + n_deferred
         state.frontier_next = n_frontier_next
-        n_new_retries = nrow["nr"] or 0
+        n_new_retries = n_retry_cand + int(
+            (d_def["n_retry"] or 0) if d_def is not None else 0)
+        min_due = None
+        if n_adm == 0:
+            nbs = [v for v in (
+                retry_min_nb if n_retry_cand else None,
+                d_def["min_nb"] if d_def is not None else None,
+            ) if v is not None]
+            min_due = min(nbs) if nbs else None
         n_admitted = n_frontier_next - n_deferred
 
         state.crawled_count += n_processed
@@ -783,10 +796,9 @@ class WaveCrawler:
         # simulated clock: politeness pacing; jump to the earliest
         # not_before if everything queued is in the future
         state.sim_clock_ms = wave_ts + max(wave_elapsed_ms, 1)
-        if n_frontier_next > 0:
-            min_due = nrow["min_due"]
-            if min_due is not None and min_due > state.sim_clock_ms:
-                state.sim_clock_ms = min_due
+        if (n_frontier_next > 0 and min_due is not None
+                and min_due > state.sim_clock_ms):
+            state.sim_clock_ms = min_due
         _tick("wave_stats")
 
         state.metrics.append({
@@ -899,12 +911,14 @@ class WaveCrawler:
                  F.sum(F.col("is_retry").cast("int")).alias("_retry"),
                  F.first("_delay").alias("_d"),
                  F.min("seq").alias("_min_seq"),
-                 F.max("seq").alias("_max_seq"))
+                 F.max("seq").alias("_max_seq"),
+                 F.min("not_before_ms").alias("_min_nb"))
             .groupBy("_due")
             .agg(F.sum("_cnt").alias("n"),
                  F.sum("_retry").alias("n_retry"),
                  F.max(F.col("_cnt") * F.col("_d")).alias("elapsed_ms"),
                  F.min("_min_seq").alias("min_seq"),
-                 F.max("_max_seq").alias("max_seq"))
+                 F.max("_max_seq").alias("max_seq"),
+                 F.min("_min_nb").alias("min_nb"))
         )
         return due, deferred, stats_df
