@@ -79,6 +79,7 @@ class WaveCrawler:
         self.pages = pages
         self.robots_df = robots
         self._corpus: DataFrame | None = None
+        self._corpus_future = None
         self._robots_rules: DataFrame | None = None
         self._robots_delay_ms: dict[str, int] = {}
         self._seen_bloom = None      # live BloomFilter sidecar (see _prepare)
@@ -120,9 +121,19 @@ class WaveCrawler:
         # the checkpoint (and with it every wave stage) at hops x nparts
         # partitions.
         self._corpus = None
+        self._corpus_future = None
         if self.pages is not None:
-            self._corpus = W.prepare_corpus(self.pages, self.cfg) \
-                .repartition(self._nparts, "url").localCheckpoint()
+            # The checkpoint job touches nothing the seed stage needs, so it
+            # runs on a background thread and the two overlap; the first
+            # fetch resolves it (_corpus_df).  Session confs above are set
+            # before submission, so the job sees them.
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=1)
+            self._corpus_future = pool.submit(
+                lambda: W.prepare_corpus(self.pages, self.cfg)
+                .repartition(self._nparts, "url").localCheckpoint())
+            pool.shutdown(wait=False)
         # Bloom sidecar over the accumulated seen hashes (SURVEY.md §4):
         # resumed crawls reload the persisted snapshot (or rebuild it from
         # the seen table if the sidecar predates the feature / was lost)
@@ -238,6 +249,14 @@ class WaveCrawler:
                   flush=True)
         self.store.commit_state(state)
         return self._loop(state, max_waves)
+
+    def _corpus_df(self):
+        """Resolve the background corpus-checkpoint job (see _prepare)."""
+        f = self._corpus_future
+        if f is not None:
+            self._corpus_future = None
+            self._corpus = f.result()
+        return self._corpus
 
     def _root_authorities(self, state: CrawlState) -> tuple[str, ...]:
         """IsInternalUri checks both RootUri and OriginalRootUri
@@ -545,7 +564,7 @@ class WaveCrawler:
                         int(d_row["max_seq"]) + 1)
 
         _tick("politeness")
-        if self._corpus is not None:
+        if self._corpus_df() is not None:
             fetched = W.fetch_wave(due, self._corpus)
         else:
             # live deployment: salted domain-bucketed mapInPandas fetch
