@@ -53,9 +53,32 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     ).withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_doc_id"))
 
 
-def word_shingles(text, n: int = 3):
-    """Distinct word n-grams of the normalized text."""
-    tokens = F.split(normalize_text(text), " ")
+def spread_input(documents: DataFrame) -> DataFrame:
+    """Round-robin repartition when the scan yields fewer partitions than
+    the session's parallelism.
+
+    The shingle/signature transforms burn seconds of CPU per thousand
+    rows; a small parquet input (one file under maxPartitionBytes) would
+    otherwise run them as ONE task.  At corpus scale the scan already
+    produces thousands of splits and this is a no-op — the shuffle only
+    happens when the input is small enough for it to be cheap.
+    """
+    sc = documents.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if documents.rdd.getNumPartitions() < target:
+        return documents.repartition(target)
+    return documents
+
+
+def shingles_from_tokens(tokens, n: int = 3):
+    """Distinct word n-grams from an already-computed token array column.
+
+    ``tokens`` must be a plain column reference (not the split/regex
+    expression itself): inside the ``transform`` lambda Catalyst cannot
+    CSE a non-trivial child, so inlining the normalize+split chain here
+    re-runs the regexes once per shingle — measured 5-20x the CPU of the
+    whole stage.  Callers project tokens in a separate select first.
+    """
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
@@ -63,18 +86,31 @@ def word_shingles(text, n: int = 3):
     return F.array_distinct(grams)
 
 
+def word_shingles(text, n: int = 3):
+    """Distinct word n-grams of the normalized text (single-expression
+    form — prefer the two-step tokens projection, see shingles_from_tokens)."""
+    return shingles_from_tokens(F.split(normalize_text(text), " "), n)
+
+
 def minhash_signatures(documents: DataFrame, k: int = 8,
                        shingle_n: int = 3) -> DataFrame:
     """(doc_id, sig_0..sig_{k-1}): sig_i = min over shingles of
     md5(i || ':' || shingle) — the lexicographic min of hex digests is a
     valid minwise hash and is engine-portable."""
-    sh = word_shingles(F.col("text"), shingle_n)
+    # two-step projection: the shingle array is computed once per row and
+    # referenced k times (CollapseProject keeps multi-use non-cheap
+    # projections separate, so the k sig expressions share it)
+    sh = spread_input(documents).select(
+        "doc_id",
+        F.split(normalize_text(F.col("text")), " ").alias("_toks")
+    ).select(
+        "doc_id", shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh"))
 
     def salted_min(i: int):
-        return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
+        return F.array_min(F.transform(
+            F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
 
-    return documents.select(
+    return sh.select(
         "doc_id", *[salted_min(i).alias(f"sig_{i}") for i in range(k)])
 
 
@@ -114,14 +150,24 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     Bit j of token t = parity of the ascii code of char j of md5(t); the
     document bit is the sign of sum(±1) over its tokens.  Packed little-
     endian into a BIGINT."""
-    tokens = F.array_distinct(F.split(normalize_text(F.col("text")), " "))
+    # two-step projection: tokenize + md5 each distinct token ONCE per row;
+    # the 16 bit terms then only probe one hex char each.  Inlining the
+    # token expression into every bit term would re-run the normalize
+    # regexes 16x and md5 16x per token (see shingles_from_tokens).
+    digs = spread_input(documents).select(
+        "doc_id",
+        F.array_distinct(F.split(normalize_text(F.col("text")), " "))
+        .alias("_toks")
+    ).select(
+        "doc_id",
+        F.transform(F.col("_toks"), lambda t: F.md5(t)).alias("_digs"))
 
     def bit_contrib(j: int):
-        def merge(acc, t):
+        def merge(acc, d):
             return acc + F.when(
-                F.ascii(F.substring(F.md5(t), j + 1, 1)) % 2 == 1,
+                F.ascii(F.substring(d, j + 1, 1)) % 2 == 1,
                 F.lit(1)).otherwise(F.lit(-1))
-        return F.aggregate(tokens, F.lit(0), merge)
+        return F.aggregate(F.col("_digs"), F.lit(0), merge)
 
     bit_terms = []
     for j in range(bits):
@@ -131,7 +177,7 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     total = bit_terms[0]
     for t in bit_terms[1:]:
         total = total + t
-    return documents.select("doc_id", total.cast("long").alias("simhash"))
+    return digs.select("doc_id", total.cast("long").alias("simhash"))
 
 
 def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
@@ -143,9 +189,13 @@ def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
     with document-frequency pruning of boilerplate shingles (``max_df``)
     to kill bucket skew before the self-join.
     """
+    documents = spread_input(documents)
     n_docs = documents.count()
     exploded = documents.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), shingle_n))
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("_toks")
+    ).select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("_toks"), shingle_n))
         .alias("shingle"))
     df_cap = int(n_docs * max_df)
     # inverted index in ONE shuffle: shingle -> sorted doc list; df-pruning
