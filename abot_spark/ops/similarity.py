@@ -40,16 +40,25 @@ def cosine_col(a, b):
 def cosine_topk(embeddings: DataFrame, query_ids: list[int],
                 k: int = 5) -> DataFrame:
     """(query_id, neighbor_id, rank, score): top-k cosine neighbors of
-    each query vector (self excluded)."""
+    each query vector (self excluded).
+
+    Norms are projected per side BEFORE the join: computing them inside
+    the pair score would redo the O(d) aggregate per PAIR (Q times per
+    neighbor) instead of once per vector — a 3x FLOP cut on the scan side.
+    Identical float ops per value, so scores (and the oracle) don't move.
+    """
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"))
     pairs = F.broadcast(q).crossJoin(
         embeddings.select(F.col("vec_id").alias("neighbor_id"),
-                          F.col("embedding").alias("nv"))
+                          F.col("embedding").alias("nv"),
+                          _norm(F.col("embedding")).alias("nn"))
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id", "neighbor_id",
-        cosine_col(F.col("qv"), F.col("nv")).alias("score"))
+        F.round(_dot(F.col("qv"), F.col("nv"))
+                / (F.col("qn") * F.col("nn")), 4).alias("score"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)) \
@@ -83,15 +92,19 @@ def embedding_neardup_pairs(embeddings: DataFrame, bits: int = 6,
     score so both engines make the identical inclusion decision."""
     sig = embeddings.select(
         "vec_id", "embedding",
-        sign_signature(F.col("embedding"), bits).alias("sig"))
+        sign_signature(F.col("embedding"), bits).alias("sig"),
+        _norm(F.col("embedding")).alias("nrm"))  # once per vector, not pair
     a = sig.select(F.col("vec_id").alias("vec_a"),
-                   F.col("embedding").alias("va"), "sig")
+                   F.col("embedding").alias("va"),
+                   F.col("nrm").alias("na"), "sig")
     b = sig.select(F.col("vec_id").alias("vec_b"),
-                   F.col("embedding").alias("vb"), "sig")
+                   F.col("embedding").alias("vb"),
+                   F.col("nrm").alias("nb"), "sig")
     return (
         a.join(b, "sig").filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b",
-                cosine_col(F.col("va"), F.col("vb")).alias("score"))
+                F.round(_dot(F.col("va"), F.col("vb"))
+                        / (F.col("na") * F.col("nb")), 4).alias("score"))
         .filter(F.col("score") >= threshold)
     )
 
@@ -101,10 +114,14 @@ def assign_clusters(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
     first ``n_centroids`` vectors by vec_id (deterministic seeding —
     k-means would refine these in practice; assignment plan is identical)."""
     centroids = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cv"))
-    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("cn"))
+    scored = embeddings.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("en")
+    ).crossJoin(F.broadcast(centroids)).select(
         "vec_id", "cluster",
-        cosine_col(F.col("embedding"), F.col("cv")).alias("score"))
+        F.round(_dot(F.col("embedding"), F.col("cv"))
+                / (F.col("en") * F.col("cn")), 4).alias("score"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cluster"))
     return scored.withColumn("rnk", F.row_number().over(w)) \
         .filter(F.col("rnk") == 1).select("vec_id", "cluster")
@@ -114,18 +131,22 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
              n_centroids: int = 8) -> DataFrame:
     """IVF search: top-k within the query's own cluster only."""
     clusters = assign_clusters(embeddings, n_centroids)
-    emb = embeddings.join(clusters, "vec_id")
+    emb = embeddings.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    ).join(clusters, "vec_id")
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
-        F.col("cluster"))
+        F.col("nrm").alias("qn"), F.col("cluster"))
     pairs = F.broadcast(q).join(
         emb.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("embedding").alias("nv"), "cluster"),
+                   F.col("embedding").alias("nv"),
+                   F.col("nrm").alias("nn"), "cluster"),
         "cluster",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id", "neighbor_id",
-        cosine_col(F.col("qv"), F.col("nv")).alias("score"))
+        F.round(_dot(F.col("qv"), F.col("nv"))
+                / (F.col("qn") * F.col("nn")), 4).alias("score"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)) \

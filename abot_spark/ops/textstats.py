@@ -104,13 +104,18 @@ def lang_id(documents: DataFrame) -> DataFrame:
 def fingerprint(documents: DataFrame, k: int = 8) -> DataFrame:
     """Document fingerprint: lexicographic-min md5 over word k-grams
     (winnowing-lite).  Shorter docs fall back to the whole-text hash."""
-    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    # tokens projected first: inlining the split into the transform lambda
+    # would re-split the text once per gram (Catalyst can't CSE through
+    # lambda bodies — see ops/dedup.shingles_from_tokens)
+    toks = documents.select(
+        "doc_id", "text",
+        F.split(F.trim(F.col("text")), r"\s+").alias("_toks"))
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tokens) - k, F.lit(0))),
-        lambda i: F.array_join(F.slice(tokens, i + 1, k), " "),
+        F.sequence(F.lit(0), F.greatest(F.size("_toks") - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i + 1, k), " "),
     )
     fp = F.array_min(F.transform(grams, lambda g: F.md5(g)))
-    return documents.select(
+    return toks.select(
         "doc_id",
         F.coalesce(fp, F.md5(F.col("text"))).alias("fingerprint"),
     )
