@@ -1,0 +1,108 @@
+"""Randomized cross-engine parity: the distributed wave engine must match
+the serial oracle on arbitrary graphs and config mixes, not just the
+hand-built fixtures.
+
+Each case is a pure function of its seed (graph shape, link mix, status
+mutations, robots, config knobs all come from one ``random.Random(seed)``),
+so failures replay exactly.  This is the property-style analogue of the
+reference's set-based integration oracle
+(``Abot.Tests.Integration/CrawlTestBase.cs:81-125``) with our stronger
+contract: exact (url, status) SET and exact (wave, seq) ORDER.
+"""
+
+from __future__ import annotations
+
+import random
+import tempfile
+
+import pytest
+
+from abot_spark.config import CrawlConfig
+from abot_spark.crawler import WaveCrawler
+from abot_spark.oracle.serial import SerialCrawler
+from abot_spark.sources.synthetic_web import WebFixture, _page, write_parquet
+from abot_spark.urls import authority
+
+
+def _random_fixture(rng: random.Random) -> tuple[WebFixture, list[str]]:
+    fx = WebFixture()
+    n_domains = rng.randint(1, 3)
+    doms = [f"http://r{i}.fuzz.com" for i in range(n_domains)]
+    urls: list[str] = []
+    for d in doms:
+        n_pages = rng.randint(2, 8)
+        urls += [d + "/"] + [f"{d}/p{k}" for k in range(1, n_pages)]
+
+    for url in urls:
+        links: list[str] = []
+        for _ in range(rng.randint(0, 6)):
+            r = rng.random()
+            if r < 0.50:
+                links.append(rng.choice(urls))            # absolute, exists
+            elif r < 0.70:
+                links.append(f"/p{rng.randint(0, 9)}")    # relative, may 404
+            elif r < 0.80:
+                links.append(rng.choice(urls) + "#frag")  # fragment dup
+            elif r < 0.90:
+                links.append(f"http://x{rng.randint(0, 2)}.other.com/")
+            else:
+                links.append(url)                         # self link
+        p = _page(url, links, f"t {url}", ts_off=rng.randint(0, 100))
+        s = rng.random()
+        if s < 0.08:
+            p.status_code = 404
+        elif s < 0.14:
+            p.status_code = 503
+            p.retry_after = str(rng.randint(1, 3))
+        elif s < 0.20:
+            p.status_code = 301
+            p.location = rng.choice(urls)
+        fx.pages.append(p)
+
+    if rng.random() < 0.5:
+        fx.robots.append((authority(doms[0] + "/"),
+                          "User-agent: *\nDisallow: /p1\n"))
+    return fx, doms
+
+
+def _random_config(rng: random.Random) -> CrawlConfig:
+    return CrawlConfig(
+        max_pages_to_crawl=rng.choice([0, 4, 9, 25]),
+        max_crawl_depth=rng.choice([1, 2, 100]),
+        max_retry_count=rng.choice([0, 1, 2]),
+        min_retry_delay_in_milliseconds=rng.choice([0, 200]),
+        is_external_page_crawling_enabled=rng.random() < 0.5,
+        is_external_page_links_crawling_enabled=rng.random() < 0.5,
+        is_respect_robots_dot_text_enabled=rng.random() < 0.5,
+        min_crawl_delay_per_domain_milli_seconds=rng.choice([0, 500]),
+        max_pages_to_crawl_per_domain=rng.choice([0, 3]),
+        max_links_per_page=rng.choice([0, 3]),
+    )
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404, 505])
+def test_fuzz_graph_and_config_parity(spark, seed):
+    rng = random.Random(seed)
+    fx, doms = _random_fixture(rng)
+    cfg = _random_config(rng)
+    seeds = [doms[0] + "/"]
+    serial = SerialCrawler(fx, cfg).crawl(seeds[0])
+
+    tmp = tempfile.mkdtemp(prefix="abot-fuzz-web-")
+    paths = write_parquet(fx, tmp)
+    crawler = WaveCrawler(
+        spark, cfg, tempfile.mkdtemp(prefix="abot-fuzz-crawl-"),
+        spark.read.parquet(paths["pages"]),
+        spark.read.parquet(paths["robots"]) if fx.robots else None)
+    state = crawler.crawl(seeds, max_waves=40)
+    fetched = crawler.store.read_all("fetched", state.wave)
+    rows = fetched.orderBy("seq").collect() if fetched is not None else []
+
+    got_order = [r["url"] for r in rows]
+    got_status = {(r["url"], r["status_code"]) for r in rows}
+    want_status = {(e.url, e.status_code) for e in serial.crawled}
+
+    assert got_order == serial.crawl_order, (
+        f"seed={seed} cfg={cfg} order mismatch: "
+        f"got {got_order} want {serial.crawl_order}")
+    assert got_status == want_status, f"seed={seed} status-set mismatch"
