@@ -129,6 +129,13 @@ class CrawlConfig:
     # storage-partitioned) exact join.  The sidecar is maintained lazily:
     # dormant (no absorb jobs, no snapshots) until the seen-set reaches
     # this size, then one catch-up absorb folds the accumulated table.
+    seen_compact_every_waves: int = 0   # 0 = off; N = rewrite the per-wave
+    # seen appends into one hash-bucketed snapshot every N waves (Iceberg
+    # rewrite_data_files + expire_snapshots on the parquet stand-in).  A
+    # long crawl otherwise accumulates one directory per wave and the
+    # anti-join probe pays file-listing + footer reads across all of them.
+    seen_compact_buckets: int = 0       # 0 = use the wave shuffle width
+    seen_compact_prune: bool = True     # drop superseded per-wave dirs
 
     def with_(self, **kw: Any) -> "CrawlConfig":
         return replace(self, **kw)

@@ -515,6 +515,14 @@ class WaveCrawler:
             state.wave = w
             self._run_wave(frontier, state)
             self.store.commit_state(state)
+            # seen-set maintenance at the wave boundary (after the commit,
+            # so a snapshot only ever covers durable waves; synchronous, so
+            # the next wave's plan never lists files a prune is deleting)
+            every = cfg.seen_compact_every_waves
+            if every > 0 and (w + 1) % every == 0:
+                self.store.compact_seen(
+                    w + 1, cfg.seen_compact_buckets or self._nparts,
+                    prune=cfg.seen_compact_prune)
             w += 1
         return state
 

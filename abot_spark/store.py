@@ -79,14 +79,88 @@ class CrawlStore:
         return self.spark.read.parquet(self.wave_path(table, wave))
 
     def read_all(self, table: str, through_wave: int) -> DataFrame | None:
+        start = 0
+        base: DataFrame | None = None
+        k = self.latest_compact(table, through_wave)
+        if k is not None:
+            base = self.spark.read.parquet(self.compact_path(table, k))
+            start = k + 1
         paths = [
             self.wave_path(table, w)
-            for w in range(through_wave + 1)
+            for w in range(start, through_wave + 1)
             if os.path.exists(self.wave_path(table, w))
         ]
-        if not paths:
+        if paths:
+            deltas = self.spark.read.parquet(*paths)
+            base = deltas if base is None else base.unionByName(deltas)
+        return base
+
+    # -- compaction (SURVEY.md §4 "Seen-set at 10^10") -----------------------
+    #
+    # A long crawl appends one small directory per wave; after hundreds of
+    # waves the per-wave union is a small-file/scan-fanout problem (file
+    # listing + footer reads dominate the anti-join probe).  compact_seen
+    # rewrites waves 0..K into ONE hash-bucketed snapshot — the Iceberg
+    # rewrite_data_files + expire_snapshots maintenance pair, expressed on
+    # the parquet stand-in.  Commit is atomic (write to *.tmp, rename), so
+    # a crash mid-compaction leaves only a .tmp that recovery removes, and
+    # compaction only ever covers waves at or below the last committed
+    # manifest, so resume can never roll back underneath a snapshot.
+
+    def compact_path(self, table: str, through_wave: int) -> str:
+        return os.path.join(self.work_dir, f"{table}_compact",
+                            f"through={through_wave}")
+
+    def latest_compact(self, table: str, through_wave: int) -> int | None:
+        """Newest committed compaction snapshot covering waves <= through_wave."""
+        tdir = os.path.join(self.work_dir, f"{table}_compact")
+        if not os.path.isdir(tdir):
             return None
-        return self.spark.read.parquet(*paths)
+        best = None
+        for name in os.listdir(tdir):
+            if not name.startswith("through=") or name.endswith(".tmp"):
+                continue
+            try:
+                k = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if k <= through_wave and (best is None or k > best):
+                best = k
+        return best
+
+    def compact_seen(self, through_wave: int, num_buckets: int,
+                     prune: bool = True) -> None:
+        """Rewrite seen waves 0..through_wave into one bucketed snapshot.
+
+        Bucketing by ``pmod(url_hash, B)`` with an in-file sort on
+        ``url_hash`` keeps every hash's rows in one file with tight min/max
+        stats — the layout a storage-partitioned Iceberg anti-join needs.
+        ``prune`` then removes the superseded per-wave directories (and any
+        older snapshot), the expire_snapshots half of the maintenance pair.
+        """
+        src = self.read_all("seen", through_wave)
+        if src is None:
+            return
+        final = self.compact_path("seen", through_wave)
+        tmp = final + ".tmp"
+        (src.repartition(num_buckets, F.pmod(F.col("url_hash"),
+                                             F.lit(num_buckets)))
+            .sortWithinPartitions("url_hash")
+            .write.mode("overwrite").parquet(tmp))
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        if prune:
+            for w in range(through_wave + 1):
+                p = self.wave_path("seen", w)
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+            tdir = os.path.join(self.work_dir, "seen_compact")
+            for name in os.listdir(tdir):
+                stem = name.split("=", 1)[-1].split(".", 1)[0]
+                if name.endswith(".tmp") or (
+                        stem.isdigit() and int(stem) < through_wave):
+                    shutil.rmtree(os.path.join(tdir, name))
 
     # -- bloom sidecar (SURVEY.md §4 "Seen-set at 10^10") --------------------
     #
@@ -191,6 +265,16 @@ class CrawlStore:
                 # through wave+1), tmps always dropped
                 if w > wave + 1 or name.endswith(".tmp"):
                     os.remove(os.path.join(bdir, name))
+        cdir = os.path.join(self.work_dir, "seen_compact")
+        if os.path.isdir(cdir):
+            for name in os.listdir(cdir):
+                stem = name.split("=", 1)[-1].split(".", 1)[0]
+                # a snapshot can only cover committed waves (<= wave+1, since
+                # `seen` rides one ahead); anything newer — or a half-written
+                # .tmp — is partial work from the crashed run
+                if name.endswith(".tmp") or (
+                        stem.isdigit() and int(stem) > wave + 1):
+                    shutil.rmtree(os.path.join(cdir, name))
         for name in list(os.listdir(self.work_dir)):
             if name.startswith("state_") and name.endswith(".json.tmp"):
                 os.remove(os.path.join(self.work_dir, name))

@@ -41,3 +41,46 @@ def test_unseen_urls_probe_negative(spark):
         .join(seen, "url_hash", "inner")
     # disjoint URL sets: collisions allowed in principle, none expected here
     assert hits.count() == 0
+
+
+def _fake_seen(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("http://c.example.com/p/"), "id").alias("url")
+    ).select(F.xxhash64("url").alias("url_hash"), "url")
+
+
+def test_seen_compaction_preserves_set_and_prunes(spark, tmp_path):
+    """compact_seen = Iceberg rewrite_data_files + expire_snapshots on the
+    parquet stand-in: one bucketed snapshot replaces the per-wave appends,
+    read_all is unchanged, crash leftovers are swept by recovery."""
+    import os
+
+    from abot_spark.store import CrawlStore
+
+    store = CrawlStore(spark, str(tmp_path))
+    for w in range(4):
+        store.write_wave("seen", w, _fake_seen(spark, w * 100, (w + 1) * 100))
+    before = {r["url_hash"] for r in store.read_all("seen", 3).collect()}
+
+    store.compact_seen(2, num_buckets=4)
+    # waves 0..2 collapsed into one snapshot; wave 3 delta still unioned in
+    assert store.latest_compact("seen", 3) == 2
+    assert not any(os.path.exists(store.wave_path("seen", w)) for w in range(3))
+    assert os.path.exists(store.wave_path("seen", 3))
+    assert {r["url_hash"]
+            for r in store.read_all("seen", 3).collect()} == before
+    # a second compaction supersedes (and expires) the first
+    store.compact_seen(3, num_buckets=4)
+    assert store.latest_compact("seen", 99) == 3
+    assert not os.path.exists(store.compact_path("seen", 2))
+    assert {r["url_hash"]
+            for r in store.read_all("seen", 3).collect()} == before
+
+    # crash recovery: a half-written .tmp and a snapshot covering waves
+    # newer than the committed manifest are both partial work -> removed
+    os.makedirs(store.compact_path("seen", 9) + ".tmp")
+    os.makedirs(store.compact_path("seen", 9))
+    store.drop_waves_after(3)  # committed wave 3 -> seen valid through 4
+    assert not os.path.exists(store.compact_path("seen", 9))
+    assert not os.path.exists(store.compact_path("seen", 9) + ".tmp")
+    assert os.path.exists(store.compact_path("seen", 3))

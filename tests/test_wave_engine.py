@@ -239,3 +239,43 @@ def test_manual_redirect_parity(spark, web):
     for u in ("http://d0.example.com/redir/2", "http://d0.example.com/redir/1",
               "http://d0.example.com/redir/0"):
         assert u in serial.crawl_order
+
+
+def test_seen_compaction_crawl_parity(spark, web, base_crawl):
+    """A crawl with periodic seen-set compaction (rewrite + expire of the
+    per-wave appends) fetches the same pages in the same order, and the
+    accumulated seen-set is unchanged."""
+    import os
+
+    cfg = BASE_CFG.with_(seen_compact_every_waves=2)
+    c, st, rows = run_spark_crawl(spark, web, cfg)
+    c0, st0, rows0 = base_crawl
+    assert [r["url"] for r in rows] == [r["url"] for r in rows0]
+    want_seen = {r["url_hash"] for r in
+                 c0.store.read_all("seen", st0.wave + 1).collect()}
+    got_seen = {r["url_hash"] for r in
+                c.store.read_all("seen", st.wave + 1).collect()}
+    assert got_seen == want_seen
+    k = c.store.latest_compact("seen", st.wave + 1)
+    assert k is not None and k >= 2
+    assert not any(os.path.exists(c.store.wave_path("seen", w))
+                   for w in range(k + 1))
+
+
+def test_resume_after_compaction(spark, web, base_crawl):
+    """Interrupt right after a compaction boundary; the resumed crawl must
+    probe the snapshot (the per-wave dirs are gone) and still converge to
+    the uninterrupted result."""
+    cfg = BASE_CFG.with_(seen_compact_every_waves=1)
+    wdir = tempfile.mkdtemp(prefix="abot-compact-resume-")
+    c1 = WaveCrawler(spark, cfg, wdir, web["pages"], web["robots"])
+    c1.crawl([SEED], max_waves=2)  # waves 0..1 done, snapshot committed
+    assert c1.store.latest_compact("seen", 99) is not None
+    c2 = WaveCrawler(spark, cfg, wdir, web["pages"], web["robots"])
+    c2._seed_auths = ("d0.example.com",)
+    st2 = c2.resume()
+    resumed = [r["url"] for r in
+               c2.store.read_all("fetched", st2.wave).orderBy("seq").collect()]
+    _, st3, rows = base_crawl
+    assert resumed == [r["url"] for r in rows]
+    assert (st2.crawled_count, st2.next_seq) == (st3.crawled_count, st3.next_seq)
