@@ -402,6 +402,16 @@ def q_text_fingerprint(spark, sf_dir):
     return T.fingerprint(_docs(spark, sf_dir), k=8).orderBy("doc_id")
 
 
+def q_pipeline_clean_corpus(spark, sf_dir):
+    """Composed training-data pipeline: quality gate -> lang-id -> exact
+    dedup -> MinHash near-dup removal, one scan of documents
+    (ops/pipeline.py)."""
+    from abot_spark.ops.pipeline import clean_corpus
+
+    return clean_corpus(_docs(spark, sf_dir), min_tokens=30, min_chars=200,
+                        minhash_k=8, bands=4).orderBy("doc_id")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events stream (30-min gap)."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -535,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "sessionize": q_sessionize,
         "lineitem_pricing": q_lineitem_pricing,
         "warc_ingest": q_warc_ingest,
@@ -901,6 +912,37 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(list_min(list_transform({grams8}, g -> md5(g))),
                             md5(text)) AS fingerprint
             FROM documents ORDER BY doc_id""",
+        "pipeline_clean_corpus": f"""
+            WITH feat AS (
+              SELECT doc_id,
+                     len(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                     END AS n_tokens,
+                     md5({_NORM_SQL}) AS digest,
+                     {', '.join(f"{expr} AS score_{k}"
+                                for k, expr in lang_score.items())}
+              FROM documents),
+            langed AS (SELECT *, {lang_pred} AS pred_lang FROM feat),
+            gated AS (SELECT * FROM langed
+                      WHERE n_tokens >= 30 AND n_chars >= 200),
+            uniq AS (SELECT * FROM (
+                       SELECT *, min(doc_id) OVER (PARTITION BY digest)
+                         AS canon FROM gated)
+                     WHERE doc_id = canon),
+            bands AS ({' UNION ALL '.join(
+                f"SELECT d.doc_id, {b} AS band, "
+                f"md5({_minhash_sig_sql(2 * b)} || '|' || "
+                f"{_minhash_sig_sql(2 * b + 1)}) AS band_key "
+                f"FROM documents d SEMI JOIN uniq u ON d.doc_id = u.doc_id"
+                for b in range(4))}),
+            near AS (SELECT DISTINCT b2.doc_id
+                     FROM bands b1 JOIN bands b2
+                       ON b1.band = b2.band AND b1.band_key = b2.band_key
+                      AND b1.doc_id < b2.doc_id)
+            SELECT doc_id, pred_lang, n_chars, n_tokens FROM uniq
+            WHERE doc_id NOT IN (SELECT doc_id FROM near)
+            ORDER BY doc_id""",
         "sessionize": """
             WITH l AS (
               SELECT user_id, event_id, ts,

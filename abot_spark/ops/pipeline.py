@@ -1,0 +1,112 @@
+"""Composed corpus-cleaning pipeline over ``documents`` — the canonical
+training-data preparation flow a 100 TB web corpus goes through before
+tokenization:
+
+    quality gate -> language id -> exact dedup -> MinHash near-dup removal
+
+Single-scan design: every per-document feature (char/token counts,
+language marker scores, content digest, MinHash LSH band keys) is computed
+in ONE projection over the input, so the 100 TB table is read once.  The
+only shuffles after that are the ones the semantics require:
+
+  1. digest canonicalization — ``min(doc_id) OVER (PARTITION BY digest)``
+     (hash-partitioned window; map-side the gate has already dropped the
+     junk rows, so only surviving docs shuffle);
+  2. the LSH band self-join (band_key equi-join of two compact
+     ``(doc_id, band, band_key)`` projections — the html/text columns never
+     shuffle).
+
+Stage order matters and is part of the contract: the quality gate runs
+FIRST (cheapest, biggest fan-in reduction), dedup stages only see
+survivors.  Near-dup policy is deterministic: any doc that appears as the
+GREATER member of a candidate pair is dropped, so the smallest doc_id of
+every near-dup cluster survives regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from abot_spark.ops.dedup import (
+    normalize_text,
+    shingles_from_tokens,
+    spread_input,
+)
+from abot_spark.ops.textstats import lang_pred_col, lang_scores, quality_cols
+
+
+def clean_corpus(documents: DataFrame, min_tokens: int = 30,
+                 min_chars: int = 200, keep_langs: tuple[str, ...] = (),
+                 minhash_k: int = 8, bands: int = 4,
+                 shingle_n: int = 3) -> DataFrame:
+    """Surviving docs as (doc_id, pred_lang, n_chars, n_tokens).
+
+    ``keep_langs`` empty = no language filter (pred_lang still reported).
+    MinHash parameters match ``dedup.minhash_candidate_pairs`` so the
+    near-dup stage is the same operator, inlined into the single scan.
+    """
+    q = quality_cols(F.col("text"))
+    scores = lang_scores(F.col("text"))
+    # one projection computes every per-doc feature; the token array is
+    # projected separately so the k signature mins share it (Catalyst
+    # cannot CSE non-trivial children inside transform lambdas)
+    base = spread_input(documents).select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        F.md5(normalize_text(F.col("text"))).alias("digest"),
+        F.split(normalize_text(F.col("text")), " ").alias("_toks"),
+        *[c.alias(f"score_{lang}") for lang, c in scores.items()],
+    )
+    base = base.withColumn(
+        "pred_lang",
+        lang_pred_col({lang: F.col(f"score_{lang}") for lang in scores}))
+
+    gated = base.filter((F.col("n_tokens") >= min_tokens)
+                        & (F.col("n_chars") >= min_chars))
+    if keep_langs:
+        gated = gated.filter(F.col("pred_lang").isin(*keep_langs))
+
+    # exact dedup among survivors: keep the min doc_id per digest
+    w = Window.partitionBy("digest")
+    uniq = (gated
+            .withColumn("_canon", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") == F.col("_canon")))
+
+    # MinHash signatures off the shared token array (same construction as
+    # dedup.minhash_signatures), then band keys, then the LSH self-join —
+    # only (doc_id, band, band_key) rows shuffle
+    sh = uniq.select(
+        "doc_id", "pred_lang", "n_chars", "n_tokens",
+        shingles_from_tokens(F.col("_toks"), shingle_n).alias("_sh"))
+
+    def salted_min(i: int):
+        return F.array_min(F.transform(
+            F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
+
+    sigs = sh.select(
+        "doc_id", "pred_lang", "n_chars", "n_tokens",
+        *[salted_min(i).alias(f"sig_{i}") for i in range(minhash_k)])
+    # sigs feeds the band union (4 branches) AND the final anti-join —
+    # cache it so the shingle/signature CPU runs once per row
+    sigs = sigs.cache()
+
+    rows_per_band = minhash_k // bands
+    band_df = None
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + j}")
+                for j in range(rows_per_band)]
+        part = sigs.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_key"))
+        band_df = part if band_df is None else band_df.unionByName(part)
+    near = (band_df.alias("a")
+            .join(band_df.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.band_key") == F.col("b.band_key"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("b.doc_id").alias("doc_id")).distinct())
+
+    return (sigs.join(near, "doc_id", "left_anti")
+            .select("doc_id", "pred_lang", "n_chars", "n_tokens"))

@@ -85,6 +85,18 @@ def lang_scores(text: Column) -> dict[str, Column]:
     return scores
 
 
+def lang_pred_col(score_of: dict[str, Column]) -> Column:
+    """Argmax language from per-language score columns; ties broken by
+    the fixed ``LANG_MARKERS`` order (a CASE cascade, deterministic in
+    both engines)."""
+    max_score = F.greatest(*[score_of[k] for k in LANG_MARKERS])
+    pred = None
+    for k in LANG_MARKERS:
+        cond = score_of[k] == max_score
+        pred = F.when(cond, F.lit(k)) if pred is None else pred.when(cond, F.lit(k))
+    return pred
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Marker-token language heuristic: argmax score, ties broken by the
     fixed language order (deterministic in both engines via a greatest-of-
@@ -92,13 +104,9 @@ def lang_id(documents: DataFrame) -> DataFrame:
     scores = lang_scores(F.col("text"))
     out = documents.select("doc_id", "lang", *[
         c.alias(f"score_{k}") for k, c in scores.items()])
-    pred = None
-    # CASE cascade: first language with the maximal score wins
-    max_score = F.greatest(*[F.col(f"score_{k}") for k in LANG_MARKERS])
-    for k in LANG_MARKERS:
-        cond = F.col(f"score_{k}") == max_score
-        pred = F.when(cond, F.lit(k)) if pred is None else pred.when(cond, F.lit(k))
-    return out.withColumn("pred_lang", pred)
+    return out.withColumn(
+        "pred_lang",
+        lang_pred_col({k: F.col(f"score_{k}") for k in LANG_MARKERS}))
 
 
 def fingerprint(documents: DataFrame, k: int = 8) -> DataFrame:

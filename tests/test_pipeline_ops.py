@@ -209,3 +209,39 @@ def test_media_frames_expansion(spark, docs):
         assert r["frame_len"] == len(want) and r["frame_sum"] == sum(want)
     # empty payload (doc 4, empty text -> 16-byte substr is '') -> no rows
     assert 4 not in by_doc
+
+
+def test_clean_corpus_stage_semantics(spark):
+    """Composed pipeline: gate -> lang -> exact dedup -> near-dup removal,
+    each stage pinned by a doc built to be dropped by exactly that stage."""
+    from abot_spark.ops.pipeline import clean_corpus
+
+    long_en = ("the quick brown fox jumps over the lazy dog and then "
+               "it runs far away into the green forest by the river " * 3)
+    near = long_en.replace("green forest", "dark forest")
+    rows = [
+        (0, long_en, "en"),                 # survives
+        (1, long_en, "en"),                 # exact dup of 0 -> dropped
+        (2, near, "en"),                    # near dup of 0 -> dropped
+        (3, "too short", "en"),             # quality gate -> dropped
+        (4, ("und der schnelle braune fuchs springt nicht über den faulen "
+             "hund denn die das ist ein und nicht der über ein " * 4), "de"),
+        (5, ("completely different text about distributed query engines "
+             "and columnar storage with whole stage code generation and "
+             "adaptive execution planning for large analytical workloads "
+             * 2), "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    kept = {r["doc_id"]: r for r in
+            clean_corpus(docs, min_tokens=20, min_chars=120).collect()}
+    assert set(kept) == {0, 4, 5}
+    assert kept[0]["pred_lang"] == "en"
+    assert kept[4]["pred_lang"] == "de"
+    assert kept[0]["n_tokens"] > 20 and kept[0]["n_chars"] > 120
+
+    # language filter composes on top
+    en_only = {r["doc_id"] for r in
+               clean_corpus(docs, min_tokens=20, min_chars=120,
+                            keep_langs=("en",)).collect()}
+    assert en_only == {0, 5}
