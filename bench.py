@@ -89,6 +89,7 @@ HEADLINE = [
     "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk",
     "text_quality", "text_langid", "text_fingerprint",
     "sessionize", "lineitem_pricing", "media_features",
+    "pipeline_clean_corpus",
 ]
 
 
