@@ -47,7 +47,15 @@ def _random_fixture(rng: random.Random) -> tuple[WebFixture, list[str]]:
                 links.append(f"http://x{rng.randint(0, 2)}.other.com/")
             else:
                 links.append(url)                         # self link
-        p = _page(url, links, f"t {url}", ts_off=rng.randint(0, 100))
+        extra = ""
+        if rng.random() < 0.25:
+            extra += f'<a href="/nf{rng.randint(0, 9)}" rel="nofollow">n</a>'
+        if rng.random() < 0.15:
+            extra += '<meta name="robots" content="nofollow" />'
+        if rng.random() < 0.15:
+            extra += f'<a href="{rng.choice(urls)}#x">f</a>'
+        p = _page(url, links, f"t {url}", ts_off=rng.randint(0, 100),
+                  extra=extra)
         s = rng.random()
         if s < 0.08:
             p.status_code = 404
@@ -66,8 +74,12 @@ def _random_fixture(rng: random.Random) -> tuple[WebFixture, list[str]]:
 
 
 def _random_config(rng: random.Random) -> CrawlConfig:
+    max_pages = rng.choice([0, 4, 9, 25])
     return CrawlConfig(
-        max_pages_to_crawl=rng.choice([0, 4, 9, 25]),
+        max_pages_to_crawl=max_pages,
+        # recrawling + unbounded budget never terminates on a cyclic graph
+        # (in the reference too) — only draw it under a finite budget
+        is_uri_recrawling_enabled=max_pages > 0 and rng.random() < 0.2,
         max_crawl_depth=rng.choice([1, 2, 100]),
         max_retry_count=rng.choice([0, 1, 2]),
         min_retry_delay_in_milliseconds=rng.choice([0, 200]),
@@ -77,10 +89,15 @@ def _random_config(rng: random.Random) -> CrawlConfig:
         min_crawl_delay_per_domain_milli_seconds=rng.choice([0, 500]),
         max_pages_to_crawl_per_domain=rng.choice([0, 3]),
         max_links_per_page=rng.choice([0, 3]),
+        is_respect_anchor_rel_no_follow_enabled=rng.random() < 0.5,
+        is_respect_meta_robots_no_follow_enabled=rng.random() < 0.5,
+        is_http_request_auto_redirects_enabled=rng.random() < 0.7,
+        http_request_max_auto_redirects=rng.choice([1, 7]),
+        is_respect_url_named_anchor_or_hashbang_enabled=rng.random() < 0.3,
     )
 
 
-@pytest.mark.parametrize("seed", [101, 202, 303, 404, 505])
+@pytest.mark.parametrize("seed", [101, 202, 303, 404, 505, 606, 707, 808])
 def test_fuzz_graph_and_config_parity(spark, seed):
     rng = random.Random(seed)
     fx, doms = _random_fixture(rng)
