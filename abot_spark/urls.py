@@ -190,7 +190,10 @@ def absolutize(base_url: str, href: str, respect_fragment: bool = False) -> str 
         return None
     href = href.strip()
     if not respect_fragment:
-        href = strip_fragment(href)
+        # fragment removal can expose trailing whitespace ("/ #frag" ->
+        # "/ "); canonicalize() strips it on the slow path, so the
+        # path-absolute fast path below must see it stripped too
+        href = strip_fragment(href).rstrip()
     if href == "" and not respect_fragment:
         # ``new Uri(base, "")`` resolves to the base itself
         return canonicalize(base_url)
