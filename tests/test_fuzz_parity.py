@@ -37,16 +37,31 @@ def _random_fixture(rng: random.Random) -> tuple[WebFixture, list[str]]:
         links: list[str] = []
         for _ in range(rng.randint(0, 6)):
             r = rng.random()
-            if r < 0.50:
+            if r < 0.42:
                 links.append(rng.choice(urls))            # absolute, exists
-            elif r < 0.70:
+            elif r < 0.58:
                 links.append(f"/p{rng.randint(0, 9)}")    # relative, may 404
-            elif r < 0.80:
+            elif r < 0.68:
                 links.append(rng.choice(urls) + "#frag")  # fragment dup
-            elif r < 0.90:
+            elif r < 0.76:
                 links.append(f"http://x{rng.randint(0, 2)}.other.com/")
-            else:
+            elif r < 0.82:
                 links.append(url)                         # self link
+            # gnarly href shapes: canonical collisions + odd resolutions
+            # (the class where the absolutize fast paths live)
+            elif r < 0.86:
+                # whitespace exposed by fragment stripping ("/p1 #x")
+                links.append(f"/p{rng.randint(0, 3)} #x")
+            elif r < 0.90:
+                links.append(f"./p{rng.randint(0, 3)}")   # dot segment
+            elif r < 0.94:
+                links.append(f"../p{rng.randint(0, 3)}")  # parent segment
+            elif r < 0.97:
+                links.append(f"?q={rng.randint(0, 2)}")   # query-only
+            else:
+                # protocol-relative to a fixture domain
+                host = rng.choice(doms).split("//", 1)[1]
+                links.append(f"//{host}/p{rng.randint(0, 3)}")
         extra = ""
         if rng.random() < 0.25:
             extra += f'<a href="/nf{rng.randint(0, 9)}" rel="nofollow">n</a>'
@@ -94,10 +109,14 @@ def _random_config(rng: random.Random) -> CrawlConfig:
         is_http_request_auto_redirects_enabled=rng.random() < 0.7,
         http_request_max_auto_redirects=rng.choice([1, 7]),
         is_respect_url_named_anchor_or_hashbang_enabled=rng.random() < 0.3,
+        # F4 post-download size gate (WebCrawler.cs:841-858): fixture pages
+        # are a few hundred bytes, so 600 drops a real subset
+        max_page_size_in_bytes=rng.choice([0, 0, 600]),
     )
 
 
-@pytest.mark.parametrize("seed", [101, 202, 303, 404, 505, 606, 707, 808])
+@pytest.mark.parametrize(
+    "seed", [101, 202, 303, 404, 505, 606, 707, 808, 909, 1010, 1111, 1212])
 def test_fuzz_graph_and_config_parity(spark, seed):
     rng = random.Random(seed)
     fx, doms = _random_fixture(rng)
