@@ -166,6 +166,41 @@ def test_resume_equals_uninterrupted(spark, web, base_crawl):
     assert (st2.crawled_count, st2.next_seq) == (st3.crawled_count, st3.next_seq)
 
 
+def test_resume_after_midwave_crash(spark, web, base_crawl):
+    """A crash MID-wave leaves partial parquet for the uncommitted wave
+    (some appends written, no manifest).  resume() must drop exactly the
+    partial data — wave+1 frontier/seen/disallowed are part of the
+    committed wave's output and stay; anything newer goes — and finish
+    with the uninterrupted outcome (store.drop_waves_after contract)."""
+    import os
+    import shutil
+
+    wdir = tempfile.mkdtemp(prefix="abot-crash-")
+    c1 = WaveCrawler(spark, BASE_CFG, wdir, web["pages"], web["robots"])
+    c1.crawl([SEED], max_waves=2)  # manifest committed through wave 1
+
+    # simulate the crash: wave 2 was in flight — its audit append and the
+    # wave-3 frontier landed (bogus subsets), the manifest did not
+    committed_frontier2 = c1.store.wave_path("frontier", 2)
+    for partial in (c1.store.wave_path("fetched", 2),
+                    c1.store.wave_path("frontier", 3),
+                    c1.store.wave_path("seen", 3)):
+        shutil.copytree(committed_frontier2, partial)
+    with open(os.path.join(wdir, "state_2.json.tmp"), "w") as f:
+        f.write("{garbage")
+
+    c2 = WaveCrawler(spark, BASE_CFG, wdir, web["pages"], web["robots"])
+    c2._seed_auths = ("d0.example.com",)
+    st2 = c2.resume()
+    # the partial junk is gone, not merged into the crawl
+    assert not os.path.exists(os.path.join(wdir, "state_2.json.tmp"))
+    resumed = [r["url"] for r in
+               c2.store.read_all("fetched", st2.wave).orderBy("seq").collect()]
+    _, st3, rows = base_crawl
+    assert resumed == [r["url"] for r in rows]
+    assert (st2.crawled_count, st2.next_seq) == (st3.crawled_count, st3.next_seq)
+
+
 def test_politeness_floor_simulated(spark, web):
     """3+ same-domain pages at 1000 ms/domain ≥ 2000 simulated ms
     (CrawlSiteSimulator.cs:144-164) — the simulated clock stands in for
