@@ -133,3 +133,45 @@ def test_flattened_rules_roundtrip():
     assert path_allowed("/fine", rules["allow_rules"], rules["disallow_rules"])
     missing = parse_robots_rules(ROOT, None, "abot")
     assert not missing["has_robots"]
+
+
+def test_matcher_differential_fuzz():
+    """The serial oracle's verdict path (RobotsDotText.is_url_allowed on a
+    full URL) and the wave plan's (parse_robots_rules -> path_allowed on a
+    pre-split path) are independent pipelines to the same F6 verdict —
+    they must agree on arbitrary robots.txt content, UA, and path."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seg = st.sampled_from(["a", "b", "ab", "a*", "*b", "a$", ""])
+    rule_path = st.builds(
+        lambda parts, anchor: "/" + "/".join(parts) + anchor,
+        st.lists(seg, max_size=3),
+        st.sampled_from(["", "$"]))
+    line = st.one_of(
+        st.builds(lambda v: f"User-agent: {v}",
+                  st.sampled_from(["*", "abot", "badagent", "Goo"])),
+        st.builds(lambda p: f"Disallow: {p}", rule_path),
+        st.builds(lambda p: f"Allow: {p}", rule_path),
+        st.just("Disallow:"),
+        st.builds(lambda d: f"Crawl-delay: {d}", st.sampled_from(["1", "x"])),
+        st.just("# comment"),
+        st.just("junk without colon"),
+    )
+    texts = st.builds("\n".join, st.lists(line, max_size=12))
+    paths = st.builds(
+        lambda parts: "/" + "/".join(parts),
+        st.lists(st.sampled_from(["a", "b", "ab", "abc", "x"]), max_size=4))
+
+    @settings(max_examples=400, deadline=None)
+    @given(txt=texts, path=paths, ua=st.sampled_from(["abot", "other"]))
+    def check(txt, path, ua):
+        root = "http://fuzz.example.com/"
+        serial_verdict = RobotsDotText(root, txt).is_url_allowed(
+            root.rstrip("/") + path, ua)
+        rules = parse_robots_rules(root, txt, ua)
+        plan_verdict = path_allowed(
+            path, rules["allow_rules"], rules["disallow_rules"])
+        assert serial_verdict == plan_verdict, (txt, path, ua)
+
+    check()
