@@ -226,6 +226,20 @@ def q_crawl_politeness_quota(spark, sf_dir):
         .select("domain", "url", "qrank").orderBy("domain", "qrank")
 
 
+def q_crawl_priority_order(spark, sf_dir):
+    """Priority-frontier GetNext (``CrawlConfig.frontier_order='priority'``):
+    when the per-wave politeness quota truncates a domain, pop
+    ``(depth asc, crawl_delay asc, seq)`` instead of FIFO ``seq`` — shallow
+    pages first (IScheduler.cs:8 "managing the priority of what pages need
+    to be crawled"; engine: crawler.py politeness split)."""
+    u = _urls(spark, sf_dir)
+    w = Window.partitionBy("domain").orderBy("depth", "delay_ms", "seq")
+    return u.withColumn("pop_rank", F.row_number().over(w)) \
+        .withColumn("due", F.col("pop_rank") <= 3) \
+        .select("domain", "url", "pop_rank", "due") \
+        .orderBy("domain", "pop_rank")
+
+
 def q_crawl_retry_backoff(spark, sf_dir):
     """F5: failed fetches → not_before = max(Retry-After, MinRetryDelay)."""
     u = _urls(spark, sf_dir)
@@ -528,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_count_by_domain": q_crawl_count_by_domain,
         "crawl_fifo_order": q_crawl_fifo_order,
         "crawl_politeness_quota": q_crawl_politeness_quota,
+        "crawl_priority_order": q_crawl_priority_order,
         "crawl_retry_backoff": q_crawl_retry_backoff,
         "crawl_redirect_resolve": q_crawl_redirect_resolve,
         "crawl_f2_links_gate": q_crawl_f2_links_gate,
@@ -712,6 +727,14 @@ def oracle_sql() -> dict[str, str]:
                                 THEN floor(60000 / delay_ms)
                                 ELSE {1 << 40} END
             ORDER BY domain, qrank""",
+        "crawl_priority_order": f"""
+            WITH u AS ({_URLS_SQL}),
+            r AS (SELECT domain, url,
+                         row_number() OVER (PARTITION BY domain
+                                            ORDER BY depth, delay_ms, seq)
+                           AS pop_rank FROM u)
+            SELECT domain, url, pop_rank, pop_rank <= 3 AS due FROM r
+            ORDER BY domain, pop_rank""",
         "crawl_retry_backoff": f"""
             WITH u AS ({_URLS_SQL})
             SELECT url, status_code,

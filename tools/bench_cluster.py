@@ -191,6 +191,12 @@ def run_submit(zpath: str, job_path: str, data_dir: str, execs: int,
         "--conf", f"spark.executor.cores={exec_cores}",
         "--conf", "spark.executor.memory=8g",
         "--conf", f"spark.cores.max={total}",
+        # Deployment-faithful JVM sizing: on YARN/K8s each executor gets its
+        # own container and sizes GC/JIT/Netty pools to its own cores.  Here
+        # all executors share one host cgroup, so each JVM would read the
+        # WHOLE level quota (execs*cores) and oversubscribe it execs-fold.
+        "--conf", ("spark.executor.extraJavaOptions="
+                   f"-XX:ActiveProcessorCount={exec_cores}"),
         # one shared host: locality waits only serialize the tiny cluster's
         # scheduling (every block is loopback-remote at worst)
         "--conf", "spark.locality.wait=0",
