@@ -374,6 +374,41 @@ def q_dedup_ngram_pairs(spark, sf_dir):
                                  threshold=0.2).orderBy("doc_a", "doc_b")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the MinHash-LSH candidate-pair graph:
+    every document gets its transitive duplicate-cluster id (min doc_id
+    of the component) — the keep/drop verdict of a dedup pipeline.
+    Oracle: recursive-CTE transitive closure over the same pairs."""
+    return D.duplicate_clusters(_docs(spark, sf_dir), k=8, bands=4) \
+        .orderBy("doc_id")
+
+
+_PARA_HEADER = "SHARED BOILERPLATE HEADER"
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    """CCNet-style cross-document boilerplate-paragraph removal.
+
+    The oracle tables carry single-line texts, so both engines first
+    build the same derived multi-paragraph corpus — 5 consecutive docs
+    concatenated under a shared header line — then drop every paragraph
+    occurring in more than one document (the header, plus any exact-dup
+    doc texts that landed in different groups)."""
+    docs = _docs(spark, sf_dir)
+    grouped = (
+        docs.select(F.floor(F.col("doc_id") / 5).cast("long").alias("doc_id"),
+                    F.col("doc_id").alias("_ord"), "text")
+        .groupBy("doc_id")
+        .agg(F.concat(
+            F.lit(_PARA_HEADER + "\n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_ord", "text"))),
+                    lambda s: s["text"]),
+                "\n")).alias("text")))
+    return D.paragraph_dedup(grouped, max_doc_frequency=1).orderBy("doc_id")
+
+
 def q_dedup_embedding(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
@@ -553,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_embedding": q_dedup_embedding,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -844,6 +881,56 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 4) >= 0.2
             ORDER BY doc_a, doc_b""",
+        "dedup_clusters": f"""
+            WITH RECURSIVE b AS ({bands_union}),
+            p AS (
+              SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+              FROM b a JOIN b c
+                ON a.band = c.band AND a.band_key = c.band_key
+               AND a.doc_id < c.doc_id),
+            e AS (SELECT doc_a AS s, doc_b AS d FROM p
+                  UNION SELECT doc_b, doc_a FROM p),
+            reach(s, d) AS (
+              SELECT s, d FROM e
+              UNION
+              SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s),
+            comp AS (SELECT s AS doc_id, min(d) AS m FROM reach GROUP BY s)
+            SELECT doc.doc_id,
+                   COALESCE(comp.m, doc.doc_id) AS cluster_id,
+                   doc.doc_id <> COALESCE(comp.m, doc.doc_id) AS is_duplicate
+            FROM documents doc LEFT JOIN comp ON comp.doc_id = doc.doc_id
+            ORDER BY doc.doc_id""",
+        "dedup_paragraphs": f"""
+            WITH grouped AS (
+              SELECT doc_id // 5 AS gid,
+                     '{_PARA_HEADER}' || chr(10) ||
+                     string_agg(text, chr(10) ORDER BY doc_id) AS text
+              FROM documents GROUP BY 1),
+            paras AS (
+              SELECT gid, u.pos AS pos, u.para AS para
+              FROM grouped,
+                   UNNEST(list_transform(string_split(text, chr(10)),
+                                         (p, i) -> {{'pos': i, 'para': p}}))
+                     t(u)),
+            freq AS (
+              SELECT trim(lower(para)) AS key, count(DISTINCT gid) AS docs
+              FROM paras WHERE trim(lower(para)) <> '' GROUP BY 1),
+            boiler AS (SELECT key FROM freq WHERE docs > 1),
+            kept AS (
+              SELECT p.* FROM paras p
+              WHERE trim(lower(p.para)) NOT IN (SELECT key FROM boiler)),
+            totals AS (
+              SELECT gid, count(*) AS n_paragraphs FROM paras GROUP BY gid),
+            clean AS (
+              SELECT gid,
+                     string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+                     count(*) AS kept_n
+              FROM kept GROUP BY gid)
+            SELECT t.gid AS doc_id, COALESCE(c.clean_text, '') AS clean_text,
+                   t.n_paragraphs,
+                   t.n_paragraphs - COALESCE(c.kept_n, 0) AS n_removed
+            FROM totals t LEFT JOIN clean c ON c.gid = t.gid
+            ORDER BY doc_id""",
         "dedup_embedding": f"""
             WITH sig AS (
               SELECT vec_id, embedding, {_SIGN_SIG_SQL} AS sig

@@ -1,7 +1,8 @@
 """Deduplication operators for a training-data pipeline over ``documents``.
 
-Four families, all shuffle-conscious and oracle-checkable (DuckDB SQL
-equivalents in ``__spark_entry__``):
+Four pair/signature families plus two corpus-level resolution ops, all
+shuffle-conscious and oracle-checkable (DuckDB SQL equivalents in
+``__spark_entry__``):
 
 - exact:    md5(normalized text) hash-groupBy — one shuffle on the digest.
 - minhash:  word-shingle → k md5-salted lexicographic-min signatures →
@@ -13,6 +14,11 @@ equivalents in ``__spark_entry__``):
 - ngram-jaccard: 3-word shingle inverted index (one groupBy) → in-array
             (i<j) pair expansion per posting list → |A∩B| / (|A|+|B|-|A∩B|);
             df-capped posting lists bound per-bucket pair fan-out.
+- clusters:  connected components over any candidate-pair graph
+            (min-label propagation + pointer jumping, O(log n) rounds) —
+            turns "a~b" pairs into transitive keep/drop verdicts.
+- paragraphs: CCNet-style cross-document boilerplate-paragraph removal
+            (explode → doc-frequency agg → anti-join → reassemble).
 
 Scale notes (100 TB corpus):
 - every family is a map-side transform + one groupBy/join on a compact key
@@ -233,4 +239,137 @@ def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
                     / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def duplicate_clusters(documents: DataFrame, pairs: DataFrame | None = None,
+                       k: int = 8, bands: int = 4, shingle_n: int = 3,
+                       max_iter: int = 25) -> DataFrame:
+    """(doc_id, cluster_id, is_duplicate): connected components over the
+    near-duplicate candidate-pair graph; ``cluster_id`` = min doc_id in
+    the component (the canonical survivor a dedup pipeline keeps).
+
+    Candidate pairs say "a looks like b"; what a cleaning pipeline
+    actually drops is every document but one *per transitive cluster*
+    (a~b, b~c ⇒ {a,b,c} keep min).  ``pairs`` defaults to
+    :func:`minhash_candidate_pairs`; any (doc_a, doc_b) frame works
+    (simhash bands, embedding-LSH, ngram-jaccard).
+
+    Implementation: iterative min-label propagation with pointer jumping
+    (path halving) — each round every node takes the min label among
+    itself and its neighbors, then labels are shortcut through their own
+    label's label, so convergence is O(log n) rounds, not O(diameter).
+    Every round is two hash joins + one groupBy on the (small) edge set
+    plus one join on the label table; nothing is driver-resident.
+    Convergence is detected by the sum of labels (labels only decrease;
+    an unchanged sum is a fixpoint).
+
+    Scale notes (10^9-document corpus): the label table is 2 narrow
+    bigint columns hash-partitioned on doc_id; the edge set after LSH is
+    ~|near-dup docs|, orders of magnitude below the corpus; components
+    are overwhelmingly tiny (pairs/triples), so rounds-to-converge is
+    small regardless of corpus size.  This is the same dataflow as the
+    large-star/small-star CC algorithm (Kiveris et al.) restricted to
+    min-propagation + path halving, which suffices when components fit
+    no worse than shallow trees — LSH duplicate clusters do.
+    """
+    if pairs is None:
+        pairs = minhash_candidate_pairs(documents, k, bands, shingle_n)
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst")).unionByName(
+        pairs.select(F.col("doc_b").alias("src"),
+                     F.col("doc_a").alias("dst"))).cache()
+
+    labels = documents.select("doc_id").distinct() \
+        .withColumn("label", F.col("doc_id")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0] or 0
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.select(F.col("doc_id").alias("dst"),
+                                     F.col("label").alias("_dl")), "dst")
+            .groupBy("src").agg(F.min("_dl").alias("_nbr")))
+        stepped = (
+            labels.join(nbr_min.withColumnRenamed("src", "doc_id"),
+                        "doc_id", "left")
+            .select("doc_id",
+                    F.least(F.col("label"),
+                            F.coalesce("_nbr", F.col("label"))).alias("label")))
+        # pointer jumping: label <- label(label) (path halving).  The jump
+        # target is a RENAMED projection of ``stepped`` (never a raw
+        # self-join — ambiguous-column resolution would bind both sides to
+        # the same plan node); ``localCheckpoint`` truncates the iterative
+        # lineage so round r's plan doesn't embed rounds 0..r-1 (a reliable
+        # ``checkpoint(dir)`` is the drop-in for a fault-tolerant cluster
+        # run).
+        jump_map = stepped.select(F.col("doc_id").alias("label"),
+                                  F.col("label").alias("_ll"))
+        jumped = (
+            stepped.join(jump_map, "label", "left")
+            .select("doc_id",
+                    F.least(F.col("label"),
+                            F.coalesce("_ll", F.col("label"))).alias("label")))
+        new_labels = jumped.localCheckpoint()
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0] or 0
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_id"),
+        (F.col("doc_id") != F.col("label")).alias("is_duplicate"))
+
+
+def paragraph_dedup(documents: DataFrame, max_doc_frequency: int = 1,
+                    sep: str = "\n") -> DataFrame:
+    """(doc_id, clean_text, n_paragraphs, n_removed): cross-document
+    boilerplate-paragraph removal (the CCNet/RefinedWeb line-dedup step).
+
+    A paragraph (``sep``-delimited span) is boilerplate when its
+    normalized form (``trim(lower(p))``) occurs in more than
+    ``max_doc_frequency`` *distinct* documents — nav bars, cookie
+    banners, boilerplate headers.  Boilerplate paragraphs are dropped
+    from every document; surviving paragraphs are reassembled in their
+    original order.  Paragraphs that normalize to the empty string are
+    structural, never counted and never removed.
+
+    Scale notes (100 TB corpus): one explode + one aggregate on the
+    paragraph key (partial/map-side combine applies), one shuffle join of
+    paragraphs against the *boilerplate* key set — which is tiny by
+    definition (only keys crossing the frequency cap) and broadcastable —
+    then one groupBy(doc_id) to reassemble.  No driver state, no O(n²).
+    """
+    paras = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.coalesce(F.col("text"), F.lit("")), sep))
+        .alias("pos", "para"),
+    ).withColumn("_key", F.trim(F.lower(F.col("para"))))
+
+    boiler = (
+        paras.filter(F.col("_key") != "")
+        .groupBy("_key")
+        .agg(F.count_distinct("doc_id").alias("_docs"))
+        .filter(F.col("_docs") > max_doc_frequency)
+        .select("_key"))
+
+    kept = paras.join(F.broadcast(boiler), "_key", "left_anti")
+
+    totals = paras.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"))
+    clean = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"]),
+            sep).alias("clean_text"),
+        F.count(F.lit(1)).alias("_kept"))
+    return (
+        totals.join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_paragraphs",
+            (F.col("n_paragraphs") - F.coalesce("_kept", F.lit(0)))
+            .alias("n_removed"))
     )

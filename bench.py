@@ -86,7 +86,8 @@ def bench_crawl(spark, cpus: int) -> dict:
 HEADLINE = [
     "crawl_seen_antijoin", "crawl_decisions_f1", "crawl_domain_cap",
     "dedup_exact", "dedup_minhash_bands", "dedup_ngram_pairs",
-    "dedup_simhash", "ann_cosine_topk", "ann_ivf_topk",
+    "dedup_simhash", "dedup_clusters", "dedup_paragraphs",
+    "ann_cosine_topk", "ann_ivf_topk",
     "text_quality", "text_langid", "text_fingerprint",
     "sessionize", "lineitem_pricing", "media_features",
     "pipeline_clean_corpus",

@@ -245,3 +245,86 @@ def test_clean_corpus_stage_semantics(spark):
                clean_corpus(docs, min_tokens=20, min_chars=120,
                             keep_langs=("en",)).collect()}
     assert en_only == {0, 5}
+
+
+def test_duplicate_clusters_transitive(spark):
+    """a~b and b~c (no a~c pair) must land in ONE cluster with the min
+    doc_id canonical; untouched docs are their own singleton cluster."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 6),        # chain: {1,5,6}
+         (2, 3)],               # pair: {2,3}
+        "doc_a long, doc_b long")
+    out = {r["doc_id"]: r for r in
+           D.duplicate_clusters(docs, pairs=pairs).collect()}
+    assert len(out) == 7
+    assert out[1]["cluster_id"] == out[5]["cluster_id"] == \
+        out[6]["cluster_id"] == 1
+    assert out[2]["cluster_id"] == out[3]["cluster_id"] == 2
+    for d in (0, 4):
+        assert out[d]["cluster_id"] == d and not out[d]["is_duplicate"]
+    assert not out[1]["is_duplicate"] and out[5]["is_duplicate"]
+    assert out[6]["is_duplicate"] and out[3]["is_duplicate"]
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 40-node path graph needs pointer jumping to converge inside the
+    iteration cap — plain propagation would take 40 rounds."""
+    n = 40
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    out = D.duplicate_clusters(docs, pairs=pairs, max_iter=10).collect()
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert sum(r["is_duplicate"] for r in out) == n - 1
+
+
+def test_duplicate_clusters_from_minhash(spark, docs):
+    """End-to-end over minhash pairs: exact dups 0/1 and near-dup 2
+    cluster together; the rest stay singletons."""
+    out = {r["doc_id"]: r["cluster_id"] for r in
+           D.duplicate_clusters(docs).collect()}
+    assert out[0] == out[1] == out[2] == 0
+    assert out[3] == 3 and out[5] == 5
+
+
+def test_paragraph_dedup_removes_boilerplate(spark):
+    header = "COOKIE BANNER accept all cookies"
+    rows = [
+        (0, header + "\nunique zero\nalso zero"),
+        (1, header + "\nunique one"),
+        (2, header + "\n\nunique two"),   # empty paragraph survives
+        (3, "no boilerplate here"),
+        (4, header),                       # all content removed
+    ]
+    out = {r["doc_id"]: r for r in D.paragraph_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[0]["clean_text"] == "unique zero\nalso zero"
+    assert out[0]["n_paragraphs"] == 3 and out[0]["n_removed"] == 1
+    assert out[1]["clean_text"] == "unique one"
+    assert out[2]["clean_text"] == "\nunique two"   # empty line kept
+    assert out[3]["clean_text"] == "no boilerplate here"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 1
+
+
+def test_paragraph_dedup_frequency_threshold(spark):
+    """max_doc_frequency=2: a paragraph in exactly 2 docs survives; the
+    same paragraph twice in ONE doc counts one distinct document."""
+    rows = [
+        (0, "twice in one doc\ntwice in one doc\nsolo a"),
+        (1, "in two docs\nsolo b"),
+        (2, "in two docs\nsolo c"),
+        (3, "IN THREE docs\nsolo d"),
+        (4, "in three DOCS\nsolo e"),      # case-insensitive key
+        (5, "  in three docs \nsolo f"),   # whitespace-insensitive key
+    ]
+    out = {r["doc_id"]: r for r in D.paragraph_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        max_doc_frequency=2).collect()}
+    assert out[0]["clean_text"] == "twice in one doc\ntwice in one doc\nsolo a"
+    assert out[1]["clean_text"] == "in two docs\nsolo b"
+    assert out[3]["clean_text"] == "solo d"
+    assert out[4]["clean_text"] == "solo e"
+    assert out[5]["clean_text"] == "solo f"
