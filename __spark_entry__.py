@@ -566,6 +566,17 @@ def q_media_frames(spark, sf_dir):
         .orderBy("doc_id", "frame_idx")
 
 
+def q_media_audio(spark, sf_dir):
+    """Overlapping audio windowing plumbing (mapInPandas 1→N with shared
+    bytes across windows; PCM decode stubbed so the oracle is exact)."""
+    from abot_spark.ops.multimodal import chunk_audio
+    return chunk_audio(synth_media(_docs(spark, sf_dir)),
+                       chunk_bytes=48, hop_bytes=32, bytes_per_ms=4) \
+        .select("doc_id", "chunk_idx", "start_ms", "end_ms", "chunk_len",
+                "chunk_sum", "loudness") \
+        .orderBy("doc_id", "chunk_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_seen_antijoin": q_crawl_seen_antijoin,
@@ -606,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
+        "media_audio": q_media_audio,
     }
 
 
@@ -1199,6 +1211,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(fhex)/2 AS INT) AS frame_len,
                    CAST({_bytesum_sql('fhex')} AS BIGINT) AS frame_sum
             FROM f ORDER BY doc_id, frame_idx""",
+        "media_audio": f"""
+            WITH m AS ({_MEDIA_HX_SQL}
+            ), c AS (
+              SELECT doc_id, k AS chunk_idx,
+                     k * 32 AS start_b,
+                     substr(hx, k*64 + 1, 96) AS chex
+              FROM m, UNNEST(generate_series(0,
+                     CAST(ceil(length(hx)/64.0) AS INT) - 1)) AS u(k)
+              WHERE k * 64 < length(hx)
+            )
+            SELECT doc_id,
+                   CAST(chunk_idx AS INT) AS chunk_idx,
+                   CAST(start_b // 4 AS BIGINT) AS start_ms,
+                   CAST((start_b + length(chex)//2) // 4 AS BIGINT)
+                     AS end_ms,
+                   CAST(length(chex)//2 AS INT) AS chunk_len,
+                   CAST({_bytesum_sql('chex')} AS BIGINT) AS chunk_sum,
+                   {_bytesum_sql('chex')} * 1.0 / (length(chex)/2)
+                     AS loudness
+            FROM c ORDER BY doc_id, chunk_idx""",
     }
 
 

@@ -173,3 +173,50 @@ def synth_media(documents: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("meta_width"),
         F.lit(None).cast("int").alias("meta_height"),
     )
+
+
+AUDIO_CHUNK_SCHEMA = ("doc_id long, chunk_idx int, start_ms long, "
+                      "end_ms long, chunk binary, chunk_len int, "
+                      "chunk_sum long, loudness double")
+
+
+def chunk_audio(media_df: DataFrame, chunk_bytes: int = 48,
+                hop_bytes: int = 32, bytes_per_ms: int = 4) -> DataFrame:
+    """1→N *overlapping* audio windowing (the ASR/feature-extraction
+    shape: fixed windows with hop < window, e.g. 30 s windows on a 20 s
+    hop) via one ``mapInPandas`` pass.
+
+    The codec is STUBBED: payload bytes stand in for PCM samples —
+    window k covers bytes ``[k*hop, k*hop + chunk_bytes)`` and its
+    'loudness' is the mean byte value — a real deployment swaps
+    soundfile/ffmpeg PCM decode into the same loop.  The plumbing under
+    test is overlapping 1→N expansion inside an Arrow batch: unlike
+    :func:`sample_frames` the output windows share bytes, which is why
+    this must happen batch-side (an ``explode`` of pre-built slices
+    would shuffle each overlapped byte twice).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "chunk_idx", "start_ms",
+                                   "end_ms", "chunk", "chunk_len",
+                                   "chunk_sum", "loudness")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(blob) if blob is not None else b""
+                k = 0
+                while k * hop_bytes < len(data):
+                    start = k * hop_bytes
+                    chunk = data[start:start + chunk_bytes]
+                    s = sum(chunk)
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(k)
+                    out["start_ms"].append(start // bytes_per_ms)
+                    out["end_ms"].append((start + len(chunk)) // bytes_per_ms)
+                    out["chunk"].append(chunk)
+                    out["chunk_len"].append(len(chunk))
+                    out["chunk_sum"].append(s)
+                    out["loudness"].append(s / len(chunk))
+                    k += 1
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(batches, AUDIO_CHUNK_SCHEMA)

@@ -328,3 +328,27 @@ def test_paragraph_dedup_frequency_threshold(spark):
     assert out[3]["clean_text"] == "solo d"
     assert out[4]["clean_text"] == "solo e"
     assert out[5]["clean_text"] == "solo f"
+
+
+def test_audio_chunks_overlap_and_tail(spark):
+    from abot_spark.ops.multimodal import MEDIA_SCHEMA, chunk_audio
+    payload = bytes(range(80))   # 80 bytes -> starts at 0, 32, 64
+    media = spark.createDataFrame(
+        [(0, bytearray(payload), "audio/pcm", None, None),
+         (1, None, "audio/pcm", None, None)],
+        MEDIA_SCHEMA)
+    out = {r["chunk_idx"]: r for r in
+           chunk_audio(media, chunk_bytes=48, hop_bytes=32,
+                       bytes_per_ms=4).collect()}
+    assert set(out) == {0, 1, 2}   # doc 1 (null media) emits nothing
+    # full window [0,48)
+    assert out[0]["chunk_len"] == 48 and out[0]["start_ms"] == 0
+    assert out[0]["end_ms"] == 12
+    assert bytes(out[0]["chunk"]) == payload[0:48]
+    # overlapping window [32,80) shares 16 bytes with window 0
+    assert bytes(out[1]["chunk"]) == payload[32:80]
+    assert out[1]["start_ms"] == 8 and out[1]["end_ms"] == 20
+    # tail window [64,80) is short
+    assert out[2]["chunk_len"] == 16
+    assert bytes(out[2]["chunk"]) == payload[64:80]
+    assert out[2]["loudness"] == sum(payload[64:80]) / 16
