@@ -451,6 +451,13 @@ def q_text_fingerprint(spark, sf_dir):
     return T.fingerprint(_docs(spark, sf_dir), k=8).orderBy("doc_id")
 
 
+def q_text_ngram_topk(spark, sf_dir):
+    """Corpus profiling: top-10 word bigrams per language by document
+    frequency (ties broken on the n-gram string for a total order)."""
+    return T.ngram_topk(_docs(spark, sf_dir), n=2, k=10) \
+        .orderBy("lang", "rank")
+
+
 def q_pipeline_clean_corpus(spark, sf_dir):
     """Composed training-data pipeline: quality gate -> lang-id -> exact
     dedup -> MinHash near-dup removal, one scan of documents
@@ -608,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "text_ngram_topk": q_text_ngram_topk,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "sessionize": q_sessionize,
         "lineitem_pricing": q_lineitem_pricing,
@@ -1034,6 +1042,20 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(list_min(list_transform({grams8}, g -> md5(g))),
                             md5(text)) AS fingerprint
             FROM documents ORDER BY doc_id""",
+        "text_ngram_topk": f"""
+            WITH ex AS (
+              SELECT lang, doc_id, unnest({_shingles_sql(2)}) AS ngram
+              FROM documents),
+            df AS (
+              SELECT lang, ngram, count(DISTINCT doc_id) AS n_docs
+              FROM ex GROUP BY 1, 2),
+            r AS (
+              SELECT lang, ngram, n_docs,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY n_docs DESC, ngram) AS rank
+              FROM df)
+            SELECT lang, ngram, n_docs, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 10 ORDER BY lang, rank""",
         "pipeline_clean_corpus": f"""
             WITH feat AS (
               SELECT doc_id,

@@ -14,7 +14,7 @@ throughout the ops modules:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language marker lists for the n-gram/stopword language heuristic;
@@ -127,3 +127,37 @@ def fingerprint(documents: DataFrame, k: int = 8) -> DataFrame:
         "doc_id",
         F.coalesce(fp, F.md5(F.col("text"))).alias("fingerprint"),
     )
+
+
+def ngram_topk(documents: DataFrame, n: int = 2, k: int = 10,
+               by_lang: bool = True) -> DataFrame:
+    """(lang, ngram, n_docs, rank): top-``k`` word n-grams per language
+    by *document* frequency — the corpus-profiling step that surfaces
+    boilerplate candidates and template families before dedup.
+
+    Document frequency (not term frequency) so one spammy document
+    cannot dominate; ties break on the n-gram string so the rank is
+    total and engine-portable.
+
+    Scale notes (100 TB corpus): explode → one partial-aggregated
+    groupBy((lang, ngram)); the rank window partitions by ``lang``
+    (bounded cardinality) over rows already shrunk to distinct n-grams —
+    at frontier scale, pre-filtering with ``n_docs > 1`` before the
+    window drops the long unique tail ahead of the sort.
+    """
+    from abot_spark.ops.dedup import normalize_text, shingles_from_tokens
+
+    lang_col = F.col("lang") if by_lang else F.lit("all")
+    grams = documents.select(
+        lang_col.alias("lang"), "doc_id",
+        F.split(normalize_text(F.col("text")), " ").alias("_toks")
+    ).select(
+        "lang", "doc_id",
+        F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("ngram"))
+    df = grams.groupBy("lang", "ngram").agg(
+        F.count_distinct("doc_id").alias("n_docs"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_docs").desc(), F.col("ngram"))
+    return (df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("lang", "ngram", "n_docs", "rank"))

@@ -352,3 +352,23 @@ def test_audio_chunks_overlap_and_tail(spark):
     assert out[2]["chunk_len"] == 16
     assert bytes(out[2]["chunk"]) == payload[64:80]
     assert out[2]["loudness"] == sum(payload[64:80]) / 16
+
+
+def test_ngram_topk_doc_frequency_and_ties(spark):
+    rows = [
+        (0, "alpha beta alpha beta", "en"),   # 'alpha beta' once per doc
+        (1, "alpha beta gamma", "en"),
+        (2, "gamma delta", "en"),
+        (3, "uno dos", "es"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = T.ngram_topk(docs, n=2, k=3).collect()
+    en = {r["ngram"]: r for r in out if r["lang"] == "en"}
+    # document frequency, not term frequency: doc 0 repeats 'alpha beta'
+    assert en["alpha beta"]["n_docs"] == 2 and en["alpha beta"]["rank"] == 1
+    # ties (n_docs=1) break on the ngram string ascending
+    one_doc = sorted(g for g, r in en.items() if r["n_docs"] == 1)
+    ranks = [en[g]["rank"] for g in one_doc]
+    assert ranks == sorted(ranks)
+    es = [r for r in out if r["lang"] == "es"]
+    assert len(es) == 1 and es[0]["ngram"] == "uno dos"
