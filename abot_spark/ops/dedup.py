@@ -334,11 +334,13 @@ def paragraph_dedup(documents: DataFrame, max_doc_frequency: int = 1,
     original order.  Paragraphs that normalize to the empty string are
     structural, never counted and never removed.
 
-    Scale notes (100 TB corpus): one explode + one aggregate on the
-    paragraph key (partial/map-side combine applies), one shuffle join of
-    paragraphs against the *boilerplate* key set — which is tiny by
-    definition (only keys crossing the frequency cap) and broadcastable —
-    then one groupBy(doc_id) to reassemble.  No driver state, no O(n²).
+    Scale notes (100 TB corpus): one explode + one partial-aggregated
+    groupBy on the paragraph key yields the *boilerplate* key set — tiny
+    by definition (only keys crossing the frequency cap), so it
+    broadcasts into a mark join; then ONE groupBy(doc_id) reassembles
+    text and counts in the same aggregate (boilerplate is marked, not
+    anti-joined away, so totals/removed/clean never need a second
+    shuffle or a re-join).  No driver state, no O(n²).
     """
     paras = documents.select(
         "doc_id",
@@ -351,25 +353,21 @@ def paragraph_dedup(documents: DataFrame, max_doc_frequency: int = 1,
         .groupBy("_key")
         .agg(F.count_distinct("doc_id").alias("_docs"))
         .filter(F.col("_docs") > max_doc_frequency)
-        .select("_key"))
+        .select("_key", F.lit(True).alias("_boiler")))
 
-    kept = paras.join(F.broadcast(boiler), "_key", "left_anti")
+    marked = paras.join(F.broadcast(boiler), "_key", "left") \
+        .withColumn("_boiler", F.coalesce("_boiler", F.lit(False)))
 
-    totals = paras.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_paragraphs"))
-    clean = kept.groupBy("doc_id").agg(
+    return marked.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "para", "_boiler"))),
+                    lambda s: ~s["_boiler"]),
                 lambda s: s["para"]),
             sep).alias("clean_text"),
-        F.count(F.lit(1)).alias("_kept"))
-    return (
-        totals.join(clean, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            "n_paragraphs",
-            (F.col("n_paragraphs") - F.coalesce("_kept", F.lit(0)))
-            .alias("n_removed"))
-    )
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum(F.col("_boiler").cast("int")).alias("n_removed"),
+    ).select("doc_id", "clean_text", "n_paragraphs",
+             F.col("n_removed").cast("long").alias("n_removed"))
