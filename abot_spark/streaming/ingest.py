@@ -186,3 +186,49 @@ def discovery_rate_stream(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+DOC_STREAM_SCHEMA = "doc_id long, text string, event_ts timestamp"
+
+
+def doc_dedup_stream(spark: SparkSession, input_dir: str, out_dir: str,
+                     watermark: str = "10 minutes",
+                     max_files_per_trigger: int | None = None):
+    """Streaming exact dedup of a continuous document feed: only the
+    first arrival of each content digest (md5 of the normalized text —
+    the same key as ``ops.dedup.exact_dedup``) is appended to
+    ``out_dir``; later copies are dropped by cross-micro-batch state via
+    ``dropDuplicatesWithinWatermark``.
+
+    This is the streaming face of the batch exact-dedup operator: a
+    training-data feed ingested continuously (WARC drops, submissions)
+    gets deduped *on arrival* instead of by periodic batch rewrites.
+    The watermark bounds the state store exactly like the batch layer's
+    seen-set compaction bounds the seen table: duplicates farther apart
+    than the watermark are left for the periodic batch pass — state
+    stays O(docs per watermark window), not O(corpus).
+
+    Returns the started StreamingQuery (availableNow when
+    ``max_files_per_trigger`` is None, else ordered per-file
+    micro-batches so tests can drive cross-batch arrivals).
+    """
+    from abot_spark.ops.dedup import normalize_text
+
+    reader = spark.readStream.schema(DOC_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    deduped = (
+        reader.parquet(input_dir)
+        .withColumn("digest", F.md5(normalize_text(F.col("text"))))
+        .withWatermark("event_ts", watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "unique"))
+        .option("checkpointLocation", os.path.join(out_dir, "_chk"))
+        .outputMode("append")
+    )
+    if max_files_per_trigger is None:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -194,3 +194,40 @@ def test_politeness_pacing_state_across_batches(spark):
     assert got2["http://d0.example.com/d"] == t0_ms + 3000
     # d1's window (t0+250) had already freed by t0+1000: admit at its ts
     assert got2["http://d1.example.com/y"] == t0_ms + 1000
+
+
+def test_doc_dedup_stream_cross_batch(spark):
+    """Streaming exact dedup: a duplicate arriving in a LATER micro-batch
+    (inside the watermark) is dropped by cross-batch state; distinct docs
+    all come through exactly once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from abot_spark.streaming.ingest import doc_dedup_stream
+
+    input_dir = tempfile.mkdtemp(prefix="abot-ddup-in-")
+    out_dir = tempfile.mkdtemp(prefix="abot-ddup-out-")
+
+    def drop(name, rows):
+        pq.write_table(
+            pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                      "text": [r[1] for r in rows],
+                      "event_ts": pa.array([_ts(*r[2]) for r in rows],
+                                           pa.timestamp("us", tz="UTC"))}),
+            os.path.join(input_dir, f"{name}.parquet"))
+
+    drop("b0", [(0, "alpha content", (0,)), (1, "beta content", (0, 30)),
+                (2, "alpha content", (1,))])      # in-batch dup of 0
+    q = doc_dedup_stream(spark, input_dir, out_dir,
+                         watermark="10 minutes", max_files_per_trigger=1)
+    q.processAllAvailable()
+    # cross-batch dup of 'beta content' + one genuinely new doc
+    drop("b1", [(3, "beta content", (2,)), (4, "gamma content", (2, 30))])
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(os.path.join(out_dir, "unique"))
+    rows = out.collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["alpha content", "beta content", "gamma content"]
+    assert len({r["digest"] for r in rows}) == 3
