@@ -394,6 +394,7 @@ class WaveCrawler:
             # seed candidates share parent_seq=0/kind=1; the order is pos,
             # whose range is known exactly — computed buckets, no sampling
             seq_range_hint=("pos", 0, len(rows)),
+            direct_add=True,  # seeds: Scheduler.Add only, no AddKnownUri
         )
         frontier0 = sched["admitted"].withColumn("is_root", F.lit(True)) \
             .withColumn("wave", F.lit(0))
@@ -874,7 +875,6 @@ class WaveCrawler:
         domain never becomes one giant window partition."""
         cfg = self.cfg
         base = cfg.min_crawl_delay_per_domain_milli_seconds
-        not_due = F.col("not_before_ms") > F.lit(wave_ts)
 
         delay_map = F.create_map(
             *[F.lit(x) for kv in delays.items() for x in kv]) if delays else None
@@ -884,17 +884,17 @@ class WaveCrawler:
                 F.coalesce(delay_map.getItem(F.col("domain")), F.lit(0)),
                 F.lit(base))
 
+        # A future not_before_ms (Retry-After) never DEFERS a row to a
+        # later wave: the reference's WaitMinimumRetryDelay blocks the
+        # dequeued page in place (WebCrawler.cs:1237-1271), so under the
+        # serial order the wait delays TIME, not ORDER — deferring would
+        # let later-seq retries leapfrog and hand their children earlier
+        # seqs than the serial loop gives.  The wave fetches the row and
+        # the simulated clock absorbs the wait (elapsed_ms below).
         if not delays and base <= 0:
-            if self.cfg.max_retry_count <= 0:
-                # no source of future not_before_ms -> whole frontier is due
-                due, deferred = frontier, None
-                tagged = frontier.withColumn("_due", F.lit(True)) \
-                                 .withColumn("_delay", F.lit(0))
-            else:
-                due = frontier.filter(~not_due)
-                deferred = frontier.filter(not_due)
-                tagged = frontier.withColumn("_due", ~not_due) \
-                                 .withColumn("_delay", F.lit(0))
+            due, deferred = frontier, None
+            tagged = frontier.withColumn("_due", F.lit(True)) \
+                             .withColumn("_delay", F.lit(0))
         else:
             quota = F.when(
                 delay_col > 0,
@@ -927,7 +927,7 @@ class WaveCrawler:
                     .withColumn("_quota", quota) \
                     .withColumn("_delay", delay_col)
             is_due = (F.coalesce(F.col("_qrank"), F.lit(1 << 62))
-                      <= F.col("_quota")) & ~not_due
+                      <= F.col("_quota"))
             due = ranked.filter(is_due).drop("_qrank", "_quota", "_delay")
             deferred = ranked.filter(~is_due).drop("_qrank", "_quota", "_delay")
             tagged = ranked.withColumn("_due", is_due)
@@ -939,11 +939,17 @@ class WaveCrawler:
                  F.first("_delay").alias("_d"),
                  F.min("seq").alias("_min_seq"),
                  F.max("seq").alias("_max_seq"),
-                 F.min("not_before_ms").alias("_min_nb"))
+                 F.min("not_before_ms").alias("_min_nb"),
+                 F.max("not_before_ms").alias("_max_nb"))
             .groupBy("_due")
             .agg(F.sum("_cnt").alias("n"),
                  F.sum("_retry").alias("n_retry"),
-                 F.max(F.col("_cnt") * F.col("_d")).alias("elapsed_ms"),
+                 # wave duration = politeness pacing OR the longest
+                 # Retry-After wait served in place, whichever dominates
+                 F.greatest(
+                     F.max(F.col("_cnt") * F.col("_d")),
+                     F.greatest(F.max("_max_nb") - F.lit(wave_ts), F.lit(0))
+                 ).alias("elapsed_ms"),
                  F.min("_min_seq").alias("min_seq"),
                  F.max("_max_seq").alias("max_seq"),
                  F.min("_min_nb").alias("min_nb"))

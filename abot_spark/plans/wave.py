@@ -52,7 +52,12 @@ Deviations from serial semantics (documented, test-excluded corners):
   the same wave the budget recount after the per-page cut is a second pass
   (exact when only one of the two is active);
 - a same-wave duplicate whose first occurrence was a *denied* redirect
-  child suppresses the later occurrence (serial would re-decide it).
+  child suppresses the later occurrence (serial would re-decide it);
+- with ``AllowUriRecrawling`` on, a same-wave duplicate whose first
+  occurrence was the MaxLinksPerPage cap-breaker (scheduled but never
+  AddKnownUri'd) is still suppressed by the in-wave dedup window (serial
+  would schedule it a second time; across waves the parity is exact —
+  the breaker is correctly left out of the seen table).
 """
 
 from __future__ import annotations
@@ -560,6 +565,8 @@ def schedule_wave(
     user_link_predicate=None,
     seen_bloom: tuple | None = None,   # (broadcast bits, expected_items, fpp)
     seq_range_hint: tuple[str, int, int] | None = None,
+    direct_add: bool = False,  # candidates enter via Scheduler.Add only
+                               # (seeds/sitemap items), no AddKnownUri loop
 ) -> dict:
     """``SchedulePageLinks`` (``WebCrawler.cs:1109-1155``) + the decision
     pipeline as one declarative plan.  Returns dict with:
@@ -791,22 +798,45 @@ def schedule_wave(
                 "iterated",
                 (F.col("kind") != 1) | F.col("_break_pos").isNull()
                 | (F.col("pos") <= F.col("_break_pos"))) \
+            .withColumn(
+                # the cap-TRIGGERING link: scheduled, but the serial loop's
+                # break skips its AddKnownUri (WebCrawler.cs:1138-1143 —
+                # the break sits above the :1153 AddKnownUri).  With
+                # recrawling OFF it still lands in seen via Scheduler.Add's
+                # AddIfNew; with recrawling ON nothing marks it (see
+                # _out_seen_add below).
+                "_cap_breaker",
+                (F.col("kind") == 1) & F.col("_break_pos").isNotNull()
+                & (F.col("pos") == F.col("_break_pos"))) \
             .drop("_srank", "_break_pos")
         cand = cand.withColumn(
             "admitted", F.col("admitted") & F.col("iterated"))
     else:
-        cand = cand.withColumn("iterated", F.lit(True))
+        cand = cand.withColumn("iterated", F.lit(True)) \
+            .withColumn("_cap_breaker", F.lit(False))
 
     # output-membership flags, computed INTO the cache so one aggregate
     # over the cached rows can tell the caller how many rows each output
     # carries (empty outputs then skip their write/scan jobs entirely —
     # sparse waves, i.e. most waves of a converging crawl, stop paying
     # full-cache scans for zero-row appends)
-    cand = cand.withColumn(
-        "_out_seen_add",
-        (((F.col("kind") == 1) & F.col("iterated"))
-         | ((F.col("kind") == 0) & F.col("admitted")))
-        & ~F.col("_in_seen"))
+    # Seen membership mirrors the two marking paths of the reference:
+    # AddKnownUri for every iterated link (:1153), and AddIfNew inside
+    # Scheduler.Add (Scheduler.cs:87-97) for anything scheduled.  With
+    # AllowUriRecrawling the Add path never touches the seen set
+    # (Scheduler.cs:78-86), so only AddKnownUri marks — which the
+    # MaxLinksPerPage break skips for the cap-triggering link, and which
+    # redirect children (direct Add, no link iteration) never get.
+    # Direct-Add candidates (seeds, sitemap items — StartCrawlRootPage /
+    # GoogleWebCrawler bulk adds) have no link iteration, so their only
+    # marking path is Scheduler.Add's AddIfNew, gone under recrawling.
+    if cfg.is_uri_recrawling_enabled:
+        marked = ((F.col("kind") == 1) & F.col("iterated")
+                  & ~F.col("_cap_breaker") & F.lit(not direct_add))
+    else:
+        marked = (((F.col("kind") == 1) & F.col("iterated"))
+                  | ((F.col("kind") == 0) & F.col("admitted")))
+    cand = cand.withColumn("_out_seen_add", marked & ~F.col("_in_seen"))
     cand = cand.withColumn(
         "_out_disallowed",
         F.col("iterated") & ~F.col("dup_skipped")
