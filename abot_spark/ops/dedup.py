@@ -280,7 +280,11 @@ def duplicate_clusters(documents: DataFrame, pairs: DataFrame | None = None,
         pairs.select(F.col("doc_b").alias("src"),
                      F.col("doc_a").alias("dst"))).cache()
 
-    labels = documents.select("doc_id").distinct() \
+    # iterate ONLY over edge-incident docs: near-dup docs are a sliver of
+    # the corpus, so the label table (and every per-round checkpoint) is
+    # |near-dup docs|, not |corpus|; untouched docs join back as their
+    # own singleton cluster at the end without ever entering the loop
+    labels = edges.select(F.col("src").alias("doc_id")).distinct() \
         .withColumn("label", F.col("doc_id")).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).collect()[0][0] or 0
 
@@ -316,9 +320,15 @@ def duplicate_clusters(documents: DataFrame, pairs: DataFrame | None = None,
             break
         prev_sum = new_sum
     edges.unpersist()
-    return labels.select(
-        "doc_id", F.col("label").alias("cluster_id"),
-        (F.col("doc_id") != F.col("label")).alias("is_duplicate"))
+    return (
+        documents.select("doc_id").distinct()
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+            (F.col("doc_id") != F.coalesce("label", F.col("doc_id")))
+            .alias("is_duplicate"))
+    )
 
 
 def paragraph_dedup(documents: DataFrame, max_doc_frequency: int = 1,
