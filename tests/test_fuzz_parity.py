@@ -85,6 +85,33 @@ def _random_fixture(rng: random.Random) -> tuple[WebFixture, list[str]]:
     if rng.random() < 0.5:
         fx.robots.append((authority(doms[0] + "/"),
                           "User-agent: *\nDisallow: /p1\n"))
+
+    # Second-pass decorations draw from a DERIVED rng so the primary
+    # stream above is untouched — committed regression seeds keep
+    # generating byte-identical cases as coverage widens here.  Seeding
+    # from a snapshot of the internal state (not getrandbits!) consumes
+    # nothing from the primary stream — the config draws that follow in
+    # the caller stay exactly as they were.
+    rng2 = random.Random(rng.getstate()[1][0] * 2654435761 % (1 << 32))
+    if not fx.robots and rng2.random() < 0.3:
+        # richer robots: named group + wildcard group (non-inheritance),
+        # Allow carve-out, sometimes a root disallow (the F6 escape-hatch
+        # trigger when paired with the ignore-if-root-disallowed knob)
+        body = rng2.choice([
+            "User-agent: abot\nDisallow: /p2\n\n"
+            "User-agent: *\nDisallow: /p3\n",
+            "User-agent: *\nAllow: /p1\nDisallow: /p\n",
+            "User-agent: *\nDisallow: /\n",
+        ])
+        fx.robots.append((authority(doms[0] + "/"), body))
+    for p in fx.pages:
+        if p.url.endswith(".com/"):
+            continue  # never decorate roots: a gutted root degenerates
+                      # the whole case to a 1-page crawl
+        if p.status_code == 200 and rng2.random() < 0.1:
+            p.x_robots_tag = rng2.choice(["nofollow", "none"])
+        elif p.status_code == 200 and rng2.random() < 0.06:
+            p.content_type = "text/plain"   # F3: not downloadable
     return fx, doms
 
 
@@ -112,6 +139,10 @@ def _random_config(rng: random.Random) -> CrawlConfig:
         # F4 post-download size gate (WebCrawler.cs:841-858): fixture pages
         # are a few hundred bytes, so 600 drops a real subset
         max_page_size_in_bytes=rng.choice([0, 0, 600]),
+        # drawn AFTER every existing knob: extending the tail keeps the
+        # prefix of the rng stream — and so every committed seed — stable
+        is_ignore_robots_dot_text_if_root_disallowed_enabled=(
+            rng.random() < 0.3),
     )
 
 

@@ -314,3 +314,36 @@ def test_resume_after_compaction(spark, web, base_crawl):
     _, st3, rows = base_crawl
     assert resumed == [r["url"] for r in rows]
     assert (st2.crawled_count, st2.next_seq) == (st3.crawled_count, st3.next_seq)
+
+
+def test_robots_root_disallow_escape_hatch(spark, web):
+    """F6 escape hatch (PoliteWebCrawler.cs:191-227): when robots disallow
+    the root (or everything under it), IsIgnoreRobotsDotTextIfRoot-
+    DisallowedEnabled drops robots entirely; without the flag the crawl
+    fetches nothing.  Parity with the serial oracle both ways."""
+    import copy
+
+    from abot_spark.sources.synthetic_web import WebFixture
+
+    fx = copy.copy(web["fx"])
+    fx = WebFixture(pages=fx.pages,
+                    robots=[("d0.example.com", "User-agent: *\nDisallow: /\n")],
+                    seeds=fx.seeds)
+    tmp = tempfile.mkdtemp(prefix="abot-roblock-")
+    paths = write_parquet(fx, tmp)
+    blocked_web = {"fx": fx,
+                   "pages": spark.read.parquet(paths["pages"]),
+                   "robots": spark.read.parquet(paths["robots"])}
+
+    for ignore in (False, True):
+        cfg = CrawlConfig(
+            is_respect_robots_dot_text_enabled=True,
+            is_ignore_robots_dot_text_if_root_disallowed_enabled=ignore)
+        serial = SerialCrawler(fx, cfg).crawl(SEED)
+        _, state, rows = run_spark_crawl(spark, blocked_web, cfg)
+        assert [r["url"] for r in rows] == serial.crawl_order, f"ignore={ignore}"
+    # sanity on the fixture itself: the flag actually changes the outcome
+    assert len(SerialCrawler(fx, CrawlConfig(
+        is_respect_robots_dot_text_enabled=True,
+        is_ignore_robots_dot_text_if_root_disallowed_enabled=True,
+    )).crawl(SEED).crawled) > 0
