@@ -118,6 +118,11 @@ class CrawlConfig:
     domain_salt: int = 8              # salt factor for skewed-domain fetch
     bloom_expected_items: int = 10_000_000
     bloom_fpp: float = 0.01
+    bloom_n_shards: int = 64          # pow2 shard count for the sharded
+    # seen-set bloom sidecar (store.BloomSeenShards).  Size so one shard
+    # stays comfortably loadable per probing task: at the 10^10-URL north
+    # star a 1%-FPP filter is ~12 GB total — 4096 shards of ~3 MB each,
+    # absorbed and probed bucket-locally; nothing driver-held or broadcast.
     use_seen_bloom: bool = True       # bloom sidecar prunes the seen-join
     seen_bloom_min_rows: int = 20_000_000
     # ^ engage the bloom fork only once the seen table outgrows broadcast

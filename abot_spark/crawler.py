@@ -82,7 +82,8 @@ class WaveCrawler:
         self._corpus_future = None
         self._robots_rules: DataFrame | None = None
         self._robots_delay_ms: dict[str, int] = {}
-        self._seen_bloom = None      # live BloomFilter sidecar (see _prepare)
+        self._seen_shards = None     # BloomSeenShards sidecar (see _prepare)
+        self._shards_through = None  # wave the shards cover seen through
 
     # -- setup ---------------------------------------------------------------
 
@@ -134,30 +135,34 @@ class WaveCrawler:
                 lambda: W.prepare_corpus(self.pages, self.cfg)
                 .repartition(self._nparts, "url").localCheckpoint())
             pool.shutdown(wait=False)
-        # Bloom sidecar over the accumulated seen hashes (SURVEY.md §4):
-        # resumed crawls reload the persisted snapshot (or rebuild it from
-        # the seen table if the sidecar predates the feature / was lost)
-        self._seen_bloom = None
+        # Sharded bloom sidecar over the accumulated seen hashes
+        # (SURVEY.md §4; store.BloomSeenShards): the filter lives as
+        # per-bucket files on shared storage, absorbed and probed executor-
+        # side — the driver holds only the "absorbed through wave" marker.
+        # Resumed crawls find the shard files in place; a missing/stale
+        # sidecar under an engaged-sized seen table is rebuilt distributed.
+        self._seen_shards = None
+        self._shards_through = None
         if self.cfg.use_seen_bloom:
-            from abot_spark.functions.sketches import BloomFilter
-            from abot_spark.functions.udfs import bloom_from_df
+            from abot_spark.store import BloomSeenShards
 
-            loaded = (self.store.load_bloom(state.wave + 1)
-                      if state.wave >= 0 else None)
-            if loaded is not None:
-                self._seen_bloom = loaded[0]
-            elif (state.wave >= 0 and state.seen_count
-                    >= self.cfg.seen_bloom_min_rows):
-                # no snapshot but the seen table is big enough that the
-                # sidecar should be live: rebuild it once, distributed
-                seen = self.store.read_all("seen", state.wave + 1)
-                if seen is not None:
-                    self._seen_bloom = bloom_from_df(
-                        seen, "url_hash", self.cfg.bloom_expected_items,
-                        self.cfg.bloom_fpp)
-            if self._seen_bloom is None:
-                self._seen_bloom = BloomFilter(
-                    self.cfg.bloom_expected_items, self.cfg.bloom_fpp)
+            self._seen_shards = BloomSeenShards(
+                self.store.bloom_shards_dir(),
+                n_shards=self.cfg.bloom_n_shards,
+                expected_items=self.cfg.bloom_expected_items,
+                fpp=self.cfg.bloom_fpp)
+            if state.wave >= 0:
+                through = self._seen_shards.absorbed_through(state.wave + 1)
+                if through == state.wave + 1:
+                    # once engaged, every wave commits a marker — only the
+                    # exactly-current one proves full seen coverage
+                    self._shards_through = through
+                elif state.seen_count >= self.cfg.seen_bloom_min_rows:
+                    seen = self.store.read_all("seen", state.wave + 1)
+                    if seen is not None:
+                        self._seen_shards.rebuild(
+                            seen, "url_hash", state.wave + 1)
+                        self._shards_through = state.wave + 1
         self._robots_rules = None
         self._robots_delay_ms = {}
         if (self.cfg.is_respect_robots_dot_text_enabled
@@ -284,63 +289,54 @@ class WaveCrawler:
     # -- seen-set bloom sidecar ---------------------------------------------
 
     def _bloom_arg(self):
-        """Broadcast the current filter snapshot for this wave's probe, or
+        """Probe handle over the shard directory for this wave's plan, or
         None while the seen-set is small enough that the exact join alone
-        is cheaper than an extra UDF pass."""
-        if (self._seen_bloom is None
-                or self._seen_bloom.n_added < self.cfg.seen_bloom_min_rows):
+        is cheaper than an extra UDF pass (the sidecar is then dormant —
+        no marker — so the handle existing implies the files are live)."""
+        if self._seen_shards is None or self._shards_through is None:
             return None
-        bc = self.spark.sparkContext.broadcast(self._seen_bloom.to_bytes())
-        return (bc, self.cfg.bloom_expected_items, self.cfg.bloom_fpp)
+        return self._seen_shards.prober(self._shards_through)
 
     def _absorb_seen_wave(self, wave: int, seen_add: DataFrame | None = None,
                           n_hint: int | None = None,
                           total_seen: int | None = None) -> None:
-        """Fold wave ``wave``'s seen appends into the live filter and
-        persist the snapshot (resume reads it back).  Both the per-wave
-        delta and the catch-up full rebuild go through the distributed
-        per-bucket partial-plane path (``absorb_into_bloom``) — the driver
-        never collects hashes, only ≤ m/8 bytes of planes.  Pass
+        """Fold wave ``wave``'s seen appends into the shard files
+        (``BloomSeenShards.absorb``) — executors load/update/write their
+        own buckets; the driver collects one count row per touched bucket
+        and commits the wave marker, never any hashes or bits.  Pass
         ``seen_add`` (the cached wave delta) to read off the cache instead
         of re-reading the parquet append.
 
         LAZY maintenance: while the accumulated seen-set (``total_seen``)
-        is below half the engagement threshold the sidecar stays dormant —
-        no absorb job, no snapshot — because the wave plan is using the
+        is below the engagement threshold the sidecar stays dormant — no
+        absorb job, no files — because the wave plan is using the
         broadcast/exact join anyway.  On crossing, one catch-up absorb
         folds the full accumulated table."""
-        if self._seen_bloom is None:
+        if self._seen_shards is None:
             return
-        from abot_spark.functions.udfs import absorb_into_bloom
-
         if (total_seen is not None
                 and total_seen < self.cfg.seen_bloom_min_rows):
             return  # dormant: _prepare rebuilds from the seen table if needed
-        if self._seen_bloom.n_added == 0 and total_seen is not None \
+        if self._shards_through is None and total_seen is not None \
                 and n_hint is not None and total_seen > n_hint:
             # first absorb after a dormant stretch: fold everything to date
             # (this wave's append is already durable — the write lane runs
             # the seen write before this)
             src = self.store.read_all("seen", wave)
             if src is not None:
-                absorb_into_bloom(src, "url_hash", self._seen_bloom,
-                                  num_partitions=self._nparts)
-            self.store.save_bloom(self._seen_bloom, wave)
+                self._seen_shards.absorb(src, "url_hash", wave)
+                self._shards_through = wave
             return
         if n_hint == 0:
-            # empty delta: nothing to absorb, but the per-wave snapshot
-            # must still exist for resume to reload
-            self.store.save_bloom(self._seen_bloom, wave)
+            # empty delta: nothing to absorb, but the wave marker must
+            # still advance so resume proves full coverage
+            self._seen_shards.mark_absorbed(wave)
+            self._shards_through = wave
             return
         src = (seen_add if seen_add is not None
                else self.store.read_wave("seen", wave))
-        # distributed insert: executors build per-bucket partial planes and
-        # the driver collects at most the filter's own size (m/8 bytes),
-        # never the wave's hashes — in-wave duplicate rows dedupe inside
-        # partial_planes (np.unique per bucket), keeping n_added exact
-        absorb_into_bloom(src, "url_hash", self._seen_bloom,
-                          num_partitions=self._nparts)
-        self.store.save_bloom(self._seen_bloom, wave)
+        self._seen_shards.absorb(src, "url_hash", wave)
+        self._shards_through = wave
 
     # -- seeding (S1: StartCrawlRootPage, WebCrawler.cs:480-495) -------------
 

@@ -12,16 +12,15 @@ which is why the scale design (SURVEY.md §4, north_star) keeps the *exact*
 anti-join on the bucketed ``seen`` table as the source of truth and layers
 two sketch sidecars on top as join pruners:
 
-- :class:`BloomFilter` — a broadcastable global sidecar.  Insertion is
-  distributed (per-partition partial bit arrays OR-merged on the driver,
-  ~MBs each), membership is a vectorized numpy probe inside an Arrow
-  pandas UDF.  Used two ways per wave (``plans/wave.py``):
-  (a) candidates the bloom says are *definitely new* skip the exact
-  seen-join entirely (the overwhelming majority on a growing crawl);
-  (b) a second bloom built over the wave's candidate hashes prunes the
-  accumulated seen table (the big side) before the join.
-  Both prunings are exact: bloom false positives only send extra rows
-  through the exact join, never drop one.
+- :class:`BloomFilter` — the per-shard kernel of the sharded sidecar
+  (:class:`abot_spark.store.BloomSeenShards`): one standalone filter per
+  ``pmod(url_hash, B)`` bucket, living as an immutable file per (bucket,
+  wave) on shared storage.  Absorb and probe both run executor-side,
+  bucket-locally — nothing is driver-merged or broadcast, which is what
+  survives the ~12 GB filter a 10^10-URL seen-set implies.  Candidates
+  the filter rules out are *definitely new* and skip the exact seen-join
+  (the overwhelming majority on a warmed-up crawl); false positives only
+  send extra rows through the exact join, never drop one.
 - :class:`CuckooFilter` — a per-bucket sidecar with *deletion* support
   (fingerprint displacement, Fan et al., CoNEXT'14), for the
   ``AllowUriRecrawling`` mode where seen marks can be retracted
@@ -61,26 +60,16 @@ def _as_u64(hashes) -> np.ndarray:
 
 
 class BloomFilter:
-    """Bitpacked **bucketed** Bloom filter over int64 keys, double-hashing
-    probe scheme (Kirsch & Mitzenmacher: g_i = h1 + i*h2 is FPR-equivalent
-    to k independent hashes).
+    """Bitpacked Bloom filter over int64 keys, double-hashing probe scheme
+    (Kirsch & Mitzenmacher: g_i = h1 + i*h2 is FPR-equivalent to k
+    independent hashes).
 
-    The bit array is split into ``n_buckets`` (power of two) equal slices;
-    a key's bucket is its raw low bits (``hash & (B-1)``) and all k probe
-    positions land inside that bucket's slice.  FPR is unchanged (xxhash64
-    keys spread uniformly, so each bucket carries ~n/B keys against m/B
-    bits), but insertion becomes *distributable with bounded transfer*:
-    a Spark partition holding one bucket's wave delta can build just that
-    bucket's partial plane (``partial_planes``), and the driver merge
-    collects at most ``B × m/(8B) = m/8`` bytes per wave — independent of
-    the wave's row count (vs collecting every new hash).  ``hash & (B-1)``
-    on the uint64 view equals Java's ``pmod``/``&`` on the signed long
-    (two's-complement low bits), so a JVM-side ``repartition(B, url_hash
-    & (B-1))`` co-locates exactly one bucket per partition key.
-
-    At 10^10+ seen-set scale the same layout lets the probe side page in
-    only the buckets a partition actually touches; here the whole array is
-    broadcast (16 MB at the 10M/1% default).
+    Supports an internal ``n_buckets`` slicing (a key's k probe positions
+    all land inside its ``hash & (B-1)`` slice — FPR unchanged since
+    xxhash64 keys spread uniformly); the sharded seen sidecar uses
+    standalone per-shard instances (``n_buckets=1``), with the sharding
+    done at the FILE level by :class:`abot_spark.store.BloomSeenShards`
+    so absorb and probe stay executor-local, never driver-merged.
     """
 
     def __init__(self, expected_items: int, fpp: float = 0.01,
@@ -149,46 +138,7 @@ class BloomFilter:
                 ok &= ((byte >> (pos & _U64(7)).astype(np.uint8)) & 1).astype(bool)
         return ok
 
-    # -- distributed-insert surface -----------------------------------------
-
-    def partial_planes(self, hashes):
-        """Per-bucket partial planes for the keys at hand: yields
-        ``(bucket, packed_slice_bytes, n_unique)``.  The executor-side half
-        of the distributed absorb — transfer is ``mb_bits/8`` bytes per
-        *touched bucket*, not per key."""
-        if len(hashes) == 0:
-            return
-        arr = np.unique(np.asarray(hashes, dtype=np.int64))
-        buckets = self.bucket_of(arr)
-        order = np.argsort(buckets, kind="stable")
-        arr, buckets = arr[order], buckets[order]
-        mask = _U64(self.mb_bits - 1)
-        for b in np.unique(buckets):
-            keys = arr[buckets == b]
-            h1, h2 = self._probe_hashes(keys)
-            plane = np.zeros(self.mb_bits, dtype=bool)
-            with np.errstate(over="ignore"):
-                for i in range(self.k):
-                    plane[((h1 + _U64(i) * h2) & mask).astype(np.int64)] = True
-            yield int(b), np.packbits(plane, bitorder="little").tobytes(), \
-                len(keys)
-
-    def merge_bucket(self, bucket: int, packed: bytes) -> None:
-        mb8 = self.mb_bits // 8
-        self.bits[bucket * mb8:(bucket + 1) * mb8] |= np.frombuffer(
-            packed, dtype=np.uint8)
-
-    def merge(self, other: "BloomFilter") -> "BloomFilter":
-        assert (self.m_bits == other.m_bits and self.k == other.k
-                and self.n_buckets == other.n_buckets)
-        self.bits |= other.bits
-        return self
-
-    def merge_bytes(self, raw: bytes) -> "BloomFilter":
-        other = BloomFilter.from_bytes(raw, self.expected_items, self.fpp)
-        return self.merge(other)
-
-    # -- (de)serialization — the broadcast / sidecar-file payload ----------
+    # -- (de)serialization — the shard-file payload -------------------------
     #
     # Self-describing header so a worker can rebuild the filter from the
     # broadcast bytes alone: magic "ABF2", then uint32 n_buckets, uint64

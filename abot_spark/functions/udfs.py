@@ -219,101 +219,57 @@ def flat_links_map(cfg: CrawlConfig):
     return gen
 
 
-def bloom_maybe_col(bloom_bc, expected_items: int, fpp: float,
-                    hash_col: Column) -> Column:
-    """``url_hash -> boolean`` — seen-set Bloom sidecar probe (T5/T8 fast
+def shard_maybe_col(base_dir: str, n_shards: int, expected_per_shard: int,
+                    fpp: float, through_wave: int, hash_col: Column) -> Column:
+    """``url_hash -> boolean`` — sharded seen-set Bloom probe (T5/T8 fast
     path; SURVEY.md §4 "Seen-set at 10^10").
 
-    ``bloom_bc`` is a SparkContext broadcast of the filter's bit array
-    (:meth:`abot_spark.functions.sketches.BloomFilter.to_bytes`).  False
-    means *definitely not seen* — those candidates skip the exact seen-join
-    entirely; True rows continue to the exact join, so bloom false
-    positives never mis-mark a URL (the no-false-negatives contract of
-    ``CrawledUrlRepositoryTest.cs:60-89`` is preserved end-to-end).
+    The executor-side half of :class:`abot_spark.store.BloomSeenShards`:
+    no broadcast — each Arrow batch groups its hashes by shard bucket
+    (``hash % B``, floored == Spark ``pmod``) and probes that bucket's
+    newest ``wave <= through_wave`` file from shared storage.  Evaluate
+    AFTER repartitioning by the same bucket key so a task only ever loads
+    the few shards its partition holds; shard files are immutable
+    (atomic-rename writes), so the per-executor cache keys on the path
+    alone.  A bucket with no file never absorbed a key: definitely new.
 
-    The deserialized filter is cached per (executor, broadcast-id): each
-    wave broadcasts a fresh immutable snapshot, so the id is the identity.
+    False means *definitely not seen* — those candidates skip the exact
+    seen-join entirely; True rows continue to the exact join, so bloom
+    false positives never mis-mark a URL (the no-false-negatives contract
+    of ``CrawledUrlRepositoryTest.cs:60-89`` is preserved end-to-end).
     """
-    import uuid
-
     import numpy as np
-
-    key = uuid.uuid4().hex   # driver-side snapshot token, shipped by value
 
     @F.pandas_udf(BooleanType())
     def _maybe(h: pd.Series) -> pd.Series:
         from abot_spark.functions import sketches
+        from abot_spark.store import bloom_shard_load, bloom_shard_newest
 
-        cache = getattr(sketches, "_BLOOM_UDF_CACHE", None)
+        cache = getattr(sketches, "_SHARD_UDF_CACHE", None)
         if cache is None:
-            cache = sketches._BLOOM_UDF_CACHE = {}
-        bf = cache.get(key)
-        if bf is None:
-            cache.clear()      # hold at most one wave's filter per worker
-            bf = sketches.BloomFilter.from_bytes(
-                bytes(bloom_bc.value), expected_items, fpp)
-            cache[key] = bf
-        return pd.Series(bf.contains_many(h.to_numpy(dtype=np.int64)))
+            cache = sketches._SHARD_UDF_CACHE = {}
+        arr = h.to_numpy(dtype=np.int64)
+        buckets = arr % n_shards          # floored: matches JVM pmod
+        out = np.zeros(len(arr), dtype=bool)
+        for b in np.unique(buckets):
+            m = buckets == b
+            ls_key = (base_dir, int(b), through_wave)
+            path = cache.get(ls_key, 0)   # 0 = unresolved; None = no file
+            if path == 0:
+                path = bloom_shard_newest(base_dir, int(b), through_wave)
+                if len(cache) > 8192:     # bound: stale waves' entries
+                    cache.clear()
+                cache[ls_key] = path
+            if path is None:
+                continue                  # bucket never absorbed: all new
+            bf = cache.get(path)
+            if bf is None:
+                bf = bloom_shard_load(path, expected_per_shard, fpp)
+                cache[path] = bf
+            out[m] = bf.contains_many(arr[m])
+        return pd.Series(out)
 
     return _maybe(hash_col)
-
-
-def absorb_into_bloom(df, hash_col: str, bloom, num_partitions: int | None = None):
-    """Distributed Bloom insert (T8 sidecar maintenance): repartition the
-    delta by the filter's bucket key (``hash & (B-1)`` — identical on the
-    JVM signed long and the numpy uint64 view, both two's-complement low
-    bits), build per-bucket partial planes executor-side
-    (:meth:`BloomFilter.partial_planes`), OR-merge on the driver.
-
-    Driver transfer is ≤ ``n_buckets × m/(8·n_buckets) = m/8`` bytes (the
-    filter's own size, 16 MB at the 10M/1% default) **independent of the
-    delta's row count** — the property that keeps the per-wave absorb off
-    the driver's critical path at 10^10-URL frontier scale, where a wave's
-    new-URL delta alone would be GBs as raw hashes."""
-    import numpy as np
-
-    from abot_spark.functions.sketches import BloomFilter
-
-    B = bloom.n_buckets
-    exp, fpp = bloom.expected_items, bloom.fpp
-    # hash-partitioning on the bucket key sends ALL rows of a bucket to one
-    # partition even when P < B, so the m/8 total-transfer bound holds at
-    # any partition count — use the session's parallelism instead of B
-    # partitions (B tiny tasks serialize into task-latency rounds at low
-    # core counts)
-    P = min(B, num_partitions) if num_partitions else B
-    parts = df.select(hash_col).repartition(
-        P, F.expr(f"{hash_col} & {B - 1}"))
-
-    def _partial(batches):
-        proto = BloomFilter(exp, fpp, n_buckets=B)
-        chunks = [pdf[hash_col].to_numpy(dtype=np.int64) for pdf in batches]
-        if not chunks:
-            return
-        keys = np.concatenate(chunks)
-        if not len(keys):
-            return
-        out_b, out_bits, out_n = [], [], []
-        for b, packed, n in proto.partial_planes(keys):
-            out_b.append(b)
-            out_bits.append(packed)
-            out_n.append(n)
-        yield pd.DataFrame({"bucket": out_b, "bits": out_bits, "n": out_n})
-
-    rows = parts.mapInPandas(_partial, "bucket int, bits binary, n long") \
-        .collect()
-    for r in rows:
-        bloom.merge_bucket(r["bucket"], bytes(r["bits"]))
-        bloom.n_added += r["n"]
-    return bloom
-
-
-def bloom_from_df(df, hash_col: str, expected_items: int, fpp: float):
-    """Distributed Bloom build from scratch (resume rebuild path) — see
-    :func:`absorb_into_bloom` for the transfer-bound mechanics."""
-    from abot_spark.functions.sketches import BloomFilter
-
-    return absorb_into_bloom(df, hash_col, BloomFilter(expected_items, fpp))
 
 
 def robots_allowed_col(path: Column, allow_rules: Column,

@@ -563,7 +563,7 @@ def schedule_wave(
     wave_ts_ms: int,
     num_partitions: int = 32,
     user_link_predicate=None,
-    seen_bloom: tuple | None = None,   # (broadcast bits, expected_items, fpp)
+    seen_bloom=None,   # store.BloomShardProbe handle (or None: no sidecar)
     seq_range_hint: tuple[str, int, int] | None = None,
     direct_add: bool = False,  # candidates enter via Scheduler.Add only
                                # (seeds/sitemap items), no AddKnownUri loop
@@ -590,14 +590,16 @@ def schedule_wave(
 
     # -- known-URL pre-check (T5): accumulated seen + in-wave first-occurrence
     if seen is not None and seen_bloom is not None:
-        # Bloom sidecar fast path (SURVEY.md §4): compute the probe column
-        # on the shared base (cached below) so the per-candidate bloom UDF
-        # runs once, not once per branch.
-        from abot_spark.functions.udfs import bloom_maybe_col
-
-        bc, n_exp, fpp = seen_bloom
-        cand = cand.withColumn(
-            "_maybe", bloom_maybe_col(bc, n_exp, fpp, F.col("url_hash")))
+        # Sharded bloom sidecar fast path (SURVEY.md §4; store.
+        # BloomSeenShards): repartition by the shard bucket key FIRST so
+        # the probe UDF runs bucket-locally — each task loads only the few
+        # shard files its partition holds (executor-cached; nothing
+        # broadcast, nothing driver-held).  The probe column is computed on
+        # the shared base (cached below) so the UDF runs once, not once
+        # per branch.  Only the hash column ships to the Python worker.
+        cand = cand.repartition(
+            num_partitions, seen_bloom.bucket_col("url_hash"))
+        cand = cand.withColumn("_maybe", seen_bloom.maybe_col("url_hash"))
     # The bloom path forks the plan (maybe/fresh branches) and each fork
     # re-executes its lineage — which contains the link-extraction UDF and
     # explode.  Cache the candidate base ONCE so every branch reads the
@@ -609,8 +611,6 @@ def schedule_wave(
     # isn't — so the wide candidate rows never shuffle just for the probe,
     # and no base cache is needed at all.
     forked = seen is not None and seen_bloom is not None
-    if forked:
-        cand = cand.repartition(num_partitions, "url_hash")
     cand_base = cand.cache() if forked else cand
     cand = cand_base
 

@@ -162,43 +162,17 @@ class CrawlStore:
                         stem.isdigit() and int(stem) < through_wave):
                     shutil.rmtree(os.path.join(tdir, name))
 
-    # -- bloom sidecar (SURVEY.md §4 "Seen-set at 10^10") --------------------
+    # -- bloom shard sidecar (SURVEY.md §4 "Seen-set at 10^10") --------------
     #
-    # One bit-array snapshot per wave next to the seen appends; the crawler
-    # keeps the live filter in memory and these files make it resumable.
-    # On an Iceberg deployment this becomes one sidecar per seen bucket
-    # (puffin-style blob keyed by snapshot id); the wave loop is unchanged.
+    # Per-bucket bloom shard files next to the seen appends (see
+    # BloomSeenShards below); the directory on shared storage IS the live
+    # filter — no driver copy, no broadcast — and per-wave file versioning
+    # makes it resumable.  On an Iceberg deployment this becomes one sidecar
+    # per seen bucket (puffin-style blob keyed by snapshot id); the wave
+    # loop is unchanged.
 
-    def bloom_path(self, wave: int) -> str:
-        return os.path.join(self.work_dir, "seen_bloom", f"wave={wave}.bin")
-
-    def save_bloom(self, bf, wave: int) -> None:
-        path = self.bloom_path(wave)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path + ".tmp", "wb") as f:
-            f.write(bf.to_bytes())
-        meta = {"expected_items": bf.expected_items, "fpp": bf.fpp,
-                "n_added": bf.n_added}
-        with open(path + ".meta.tmp", "w") as f:
-            json.dump(meta, f)
-        os.replace(path + ".meta.tmp", path + ".meta")
-        os.replace(path + ".tmp", path)
-
-    def load_bloom(self, through_wave: int):
-        """Newest persisted filter at wave <= through_wave, or None."""
-        from abot_spark.functions.sketches import BloomFilter
-
-        for w in range(through_wave, -1, -1):
-            path = self.bloom_path(w)
-            if os.path.exists(path) and os.path.exists(path + ".meta"):
-                with open(path + ".meta") as f:
-                    meta = json.load(f)
-                with open(path, "rb") as f:
-                    bf = BloomFilter.from_bytes(
-                        f.read(), meta["expected_items"], meta["fpp"])
-                bf.n_added = meta["n_added"]
-                return bf, w
-        return None
+    def bloom_shards_dir(self) -> str:
+        return os.path.join(self.work_dir, "seen_bloom_shards")
 
     # -- manifests ----------------------------------------------------------
 
@@ -253,18 +227,11 @@ class CrawlStore:
                         continue
                     if w > keep_through:
                         shutil.rmtree(os.path.join(tdir, name))
-        bdir = os.path.join(self.work_dir, "seen_bloom")
-        if os.path.isdir(bdir):
-            for name in os.listdir(bdir):
-                stem = name.split("=", 1)[-1].split(".", 1)[0]
-                try:
-                    w = int(stem)
-                except ValueError:
-                    continue
-                # bloom rides with `seen` (written during wave w-1 -> keep
-                # through wave+1), tmps always dropped
-                if w > wave + 1 or name.endswith(".tmp"):
-                    os.remove(os.path.join(bdir, name))
+        # bloom shards ride with `seen` (absorbed during wave w-1 -> keep
+        # through wave+1); partially-absorbed newer shards must go so the
+        # no-false-negative invariant ("marker implies shards cover every
+        # seen hash through that wave") survives the crash
+        BloomSeenShards.drop_after(self.bloom_shards_dir(), wave + 1)
         cdir = os.path.join(self.work_dir, "seen_compact")
         if os.path.isdir(cdir):
             for name in os.listdir(cdir):
@@ -278,6 +245,212 @@ class CrawlStore:
         for name in list(os.listdir(self.work_dir)):
             if name.startswith("state_") and name.endswith(".json.tmp"):
                 os.remove(os.path.join(self.work_dir, name))
+
+
+# -- sharded bloom sidecar ---------------------------------------------------
+
+def bloom_shard_newest(base_dir: str, bucket: int, through_wave: int
+                       ) -> str | None:
+    """Path of bucket's newest shard file at wave <= through_wave, or None
+    (a bucket with no file has never absorbed a key — definitely-new).
+    Runs executor-side inside the probe/absorb kernels."""
+    d = os.path.join(base_dir, f"bucket={bucket}")
+    if not os.path.isdir(d):
+        return None
+    best, best_w = None, -1
+    for name in os.listdir(d):
+        if not (name.startswith("wave=") and name.endswith(".bin")):
+            continue
+        try:
+            w = int(name[len("wave="):-len(".bin")])
+        except ValueError:
+            continue
+        if best_w < w <= through_wave:
+            best, best_w = os.path.join(d, name), w
+    return best
+
+
+def bloom_shard_load(path: str, expected: int, fpp: float):
+    from abot_spark.functions.sketches import BloomFilter
+
+    with open(path, "rb") as f:
+        return BloomFilter.from_bytes(f.read(), expected, fpp)
+
+
+class BloomShardProbe:
+    """Picklable probe handle over a :class:`BloomSeenShards` directory at a
+    fixed ``through_wave`` — what the wave plan receives instead of a
+    broadcast bit array.  Holds only plain values (no SparkSession), so the
+    column UDF's closure ships by value."""
+
+    def __init__(self, base_dir: str, n_shards: int, expected_per_shard: int,
+                 fpp: float, through_wave: int):
+        self.base_dir = base_dir
+        self.n_shards = n_shards
+        self.expected_per_shard = expected_per_shard
+        self.fpp = fpp
+        self.through_wave = through_wave
+
+    def bucket_col(self, hash_col) -> "F.Column":
+        """JVM-side shard key: ``pmod(hash, B)`` (floored mod — equals the
+        numpy ``% B`` the probe kernel computes, for any pow2 B)."""
+        c = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+        return F.pmod(c, F.lit(self.n_shards)).cast("int")
+
+    def maybe_col(self, hash_col) -> "F.Column":
+        """Boolean probe column.  MUST be evaluated on a DataFrame already
+        partitioned by :meth:`bucket_col` — each task then touches only its
+        own shards, loaded once per (executor, shard file) via the
+        executor-side cache (files are immutable: path == identity)."""
+        from abot_spark.functions.udfs import shard_maybe_col
+
+        c = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+        return shard_maybe_col(self.base_dir, self.n_shards,
+                               self.expected_per_shard, self.fpp,
+                               self.through_wave, c)
+
+    def probe(self, df: DataFrame, hash_col: str = "url_hash",
+              out_col: str = "maybe_seen",
+              num_partitions: int = 32) -> DataFrame:
+        """Bucket-co-located probe: repartition by shard key, then the
+        column UDF (same surface as ``CuckooSeenSidecars.probe``)."""
+        return df.repartition(num_partitions, self.bucket_col(hash_col)) \
+            .withColumn(out_col, self.maybe_col(hash_col))
+
+
+class BloomSeenShards:
+    """Per-bucket Bloom-filter sidecars for the bucketed seen table.
+
+    The scale layout (SURVEY.md §4 "Seen-set at 10^10"; VERDICT r1 top
+    fix): the seen-set's join-pruning filter is **never held or merged on
+    the driver and never broadcast**.  It lives as B shard files on shared
+    storage — ``base_dir/bucket=<b>/wave=<w>.bin``, each a standalone
+    :class:`~abot_spark.functions.sketches.BloomFilter` over that bucket's
+    share of ``xxhash64(canonical_url)`` keys (bucket = ``pmod(hash, B)``,
+    the same key as the seen table's storage bucketing):
+
+    - **absorb** (per wave): the seen delta shuffles by bucket;
+      ``applyInPandas`` tasks each load their bucket's newest shard, fold
+      the delta in, and write a new immutable ``wave=w`` file atomically.
+      Driver transfer: one (bucket, count) row per touched bucket.
+      Untouched buckets keep their older file ("newest <= wave" resolves).
+    - **probe** (per wave): candidates repartition by the same key; a
+      scalar Arrow pandas UDF over just the hash column loads only the
+      shards its partition holds, cached per (executor, file path) — at
+      10^10 URLs (~12 GB of filter at 1% FPP) no executor ever holds more
+      than its partitions' shards, vs. an impossible 12 GB broadcast.
+    - **resume**: the files are the state.  A ``_absorbed_wave=<w>``
+      marker commits each wave's absorb (written only after every shard
+      task finished); crash recovery drops files newer than the last
+      committed crawl manifest, so a marker always implies its shards
+      cover every seen hash through that wave — the no-false-negative
+      contract (``CrawledUrlRepositoryTest.cs:60-89``) holds across
+      crashes.
+
+    Membership contract: False = definitely not seen (skip the exact
+    join); True rows confirm against the exact seen table, exactly like
+    the cuckoo sidecars above.
+    """
+
+    def __init__(self, base_dir: str, n_shards: int = 64,
+                 expected_items: int = 10_000_000, fpp: float = 0.01):
+        assert n_shards & (n_shards - 1) == 0, "n_shards must be pow2"
+        self.base_dir = base_dir
+        self.n_shards = n_shards
+        # uniform xxhash64 keys spread evenly; 2x headroom absorbs variance
+        self.expected_per_shard = max(
+            1024, (2 * expected_items) // n_shards)
+        self.fpp = fpp
+        os.makedirs(base_dir, exist_ok=True)
+
+    def prober(self, through_wave: int) -> BloomShardProbe:
+        return BloomShardProbe(self.base_dir, self.n_shards,
+                               self.expected_per_shard, self.fpp,
+                               through_wave)
+
+    def absorb(self, df: DataFrame, hash_col: str, wave: int) -> None:
+        """Distributed per-bucket absorb of a seen delta; commits the
+        ``wave`` marker once every touched shard is durable.  Idempotent
+        under task retry (bloom adds are; the atomic rename keeps readers
+        off half-written files)."""
+        base_dir, exp, fpp = self.base_dir, self.expected_per_shard, self.fpp
+
+        def fold(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import numpy as np
+            import pandas as pd
+
+            from abot_spark.functions.sketches import BloomFilter
+
+            b = int(key[0])
+            prev = bloom_shard_newest(base_dir, b, wave)
+            bf = (bloom_shard_load(prev, exp, fpp) if prev is not None
+                  else BloomFilter(exp, fpp, n_buckets=1))
+            bf.add_many(pdf[hash_col].to_numpy(dtype=np.int64))
+            d = os.path.join(base_dir, f"bucket={b}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"wave={wave}.bin")
+            with open(path + ".tmp", "wb") as f:
+                f.write(bf.to_bytes())
+            os.replace(path + ".tmp", path)
+            return pd.DataFrame({"bucket": [b], "n": [len(pdf)]})
+
+        (df.select(hash_col)
+           .withColumn("_b", F.pmod(F.col(hash_col),
+                                    F.lit(self.n_shards)).cast("int"))
+           .groupBy("_b")
+           .applyInPandas(fold, "bucket int, n long")
+           .collect())
+        self.mark_absorbed(wave)
+
+    def rebuild(self, seen_df: DataFrame, hash_col: str, wave: int) -> None:
+        """From-scratch build off the accumulated seen table (sidecar lost,
+        predates the feature, or first engagement catch-up)."""
+        shutil.rmtree(self.base_dir, ignore_errors=True)
+        os.makedirs(self.base_dir, exist_ok=True)
+        self.absorb(seen_df, hash_col, wave)
+
+    # -- wave markers (the sidecar's commit protocol) -----------------------
+
+    def _marker(self, wave: int) -> str:
+        return os.path.join(self.base_dir, f"_absorbed_wave={wave}")
+
+    def mark_absorbed(self, wave: int) -> None:
+        open(self._marker(wave), "w").close()
+
+    def absorbed_through(self, through_wave: int) -> int | None:
+        """Newest committed absorb at wave <= through_wave, or None."""
+        best = None
+        if not os.path.isdir(self.base_dir):
+            return None
+        for name in os.listdir(self.base_dir):
+            if not name.startswith("_absorbed_wave="):
+                continue
+            try:
+                w = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if w <= through_wave and (best is None or w > best):
+                best = w
+        return best
+
+    @staticmethod
+    def drop_after(base_dir: str, keep_through: int) -> None:
+        """Crash recovery: remove shard files and markers newer than the
+        last committed crawl manifest (plus any .tmp leftovers)."""
+        if not os.path.isdir(base_dir):
+            return
+        for name in os.listdir(base_dir):
+            p = os.path.join(base_dir, name)
+            if name.startswith("_absorbed_wave="):
+                stem = name.split("=", 1)[1]
+                if not stem.isdigit() or int(stem) > keep_through:
+                    os.remove(p)
+            elif name.startswith("bucket=") and os.path.isdir(p):
+                for f in os.listdir(p):
+                    stem = f.split("=", 1)[-1].split(".", 1)[0]
+                    if f.endswith(".tmp") or (
+                            stem.isdigit() and int(stem) > keep_through):
+                        os.remove(os.path.join(p, f))
 
 
 def _cuckoo_path(base_dir: str, bucket: int) -> str:

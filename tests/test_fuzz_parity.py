@@ -178,3 +178,31 @@ def test_fuzz_graph_and_config_parity(spark, seed):
         f"seed={seed} cfg={cfg} order mismatch: "
         f"got {got_order} want {serial.crawl_order}")
     assert got_status == want_status, f"seed={seed} status-set mismatch"
+
+
+@pytest.mark.parametrize("seed", [101, 303, 505, 5000, 5003])
+def test_fuzz_parity_with_bloom_forced_on(spark, seed):
+    """Same parity property with the sharded bloom sidecar FORCED live
+    from wave 0 (min_rows=0): the probe/fork fast path must be invisible
+    to crawl order and status set on arbitrary graph x config draws."""
+    rng = random.Random(seed)
+    fx, doms = _random_fixture(rng)
+    cfg = _random_config(rng).with_(
+        use_seen_bloom=True, seen_bloom_min_rows=0, bloom_n_shards=8)
+    seeds = [doms[0] + "/"]
+    serial = SerialCrawler(fx, cfg).crawl(seeds[0])
+
+    tmp = tempfile.mkdtemp(prefix="abot-fuzzb-web-")
+    paths = write_parquet(fx, tmp)
+    crawler = WaveCrawler(
+        spark, cfg, tempfile.mkdtemp(prefix="abot-fuzzb-crawl-"),
+        spark.read.parquet(paths["pages"]),
+        spark.read.parquet(paths["robots"]) if fx.robots else None)
+    state = crawler.crawl(seeds, max_waves=40)
+    fetched = crawler.store.read_all("fetched", state.wave)
+    rows = fetched.orderBy("seq").collect() if fetched is not None else []
+
+    assert [r["url"] for r in rows] == serial.crawl_order, (
+        f"seed={seed} bloom-on order mismatch")
+    assert {(r["url"], r["status_code"]) for r in rows} == {
+        (e.url, e.status_code) for e in serial.crawled}

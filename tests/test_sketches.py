@@ -3,9 +3,10 @@
 Port of the reference's seen-set contract — no false negatives, false
 positives tolerated (``Abot.Tests.Unit/Core/CrawledUrlRepositoryTest.cs:
 60-89``, ``NoFalseNegativesTest`` over 10,000 random URLs) — at 10^4 and
-10^7 keys, plus the Spark integration: the distributed bloom build, the
-wave-level bloom fast path (crawl parity with the filter forced on vs
-off), resume rebuild, and the per-bucket cuckoo sidecar probe/delete.
+10^7 keys, plus the Spark integration: the sharded per-bucket
+bloom sidecar (absorb/probe/recovery), the wave-level bloom fast path
+(crawl parity with the filter forced on vs off), and the per-bucket
+cuckoo sidecar probe/delete.
 """
 
 from __future__ import annotations
@@ -47,14 +48,10 @@ def test_bloom_fpr_within_spec():
     assert fpr < 0.02      # target 1%; pow2-rounded m only lowers it
 
 
-def test_bloom_roundtrip_and_merge():
-    a, b = _keys(5_000, 1), _keys(5_000, 2)
+def test_bloom_roundtrip():
+    a = _keys(5_000, 1)
     bf1 = BloomFilter(20_000, 0.01)
     bf1.add_many(a)
-    bf2 = BloomFilter(20_000, 0.01)
-    bf2.add_many(b)
-    bf1.merge_bytes(bf2.to_bytes())
-    assert not (~bf1.contains_many(np.concatenate([a, b]))).any()
     back = BloomFilter.from_bytes(bf1.to_bytes(), 20_000, 0.01)
     assert not (~back.contains_many(a)).any()
     with pytest.raises(ValueError):
@@ -98,73 +95,82 @@ def test_cuckoo_roundtrip():
     assert back.n_items == cf.n_items
 
 
-# -- spark: distributed build == local build --------------------------------
+# -- spark: sharded bloom sidecars ------------------------------------------
 
-def test_bloom_from_df_matches_local(spark):
-    from abot_spark.functions.udfs import bloom_from_df
-
-    keys = _keys(50_000)
-    df = spark.createDataFrame(
-        [(int(k),) for k in keys], "url_hash long").repartition(8)
-    dist = bloom_from_df(df, "url_hash", 100_000, 0.01)
-    local = BloomFilter(100_000, 0.01)
-    local.add_many(keys)
-    assert dist.to_bytes() == local.to_bytes()
-    assert dist.n_added == len(keys)
-
-
-def test_bloom_absorb_into_matches_local(spark):
-    """Distributed per-bucket absorb == local add_many, and the driver
-    transfer is plane-bounded (the scale contract of the wave absorb)."""
-    from abot_spark.functions.udfs import absorb_into_bloom
-
-    keys = _keys(30_000)
-    # duplicate rows in the delta (seen_add skips the distinct by design)
-    rows = [(int(k),) for k in keys] + [(int(k),) for k in keys[:500]]
-    df = spark.createDataFrame(rows, "url_hash long").repartition(8)
-    dist = BloomFilter(100_000, 0.01)
-    absorb_into_bloom(df, "url_hash", dist)
-    local = BloomFilter(100_000, 0.01)
-    local.add_many(keys)
-    assert dist.to_bytes() == local.to_bytes()
-    assert dist.n_added == len(keys)      # np.unique inside partial_planes
-
-
-def test_bloom_partial_planes_bucket_locality():
-    """Every probe position of a key lands inside its bucket's slice, so
-    merging a bucket's plane can never touch another bucket's bits."""
-    bf = BloomFilter(10_000, 0.01)
-    keys = _keys(2_000)
-    for b, packed, n in bf.partial_planes(keys):
-        bf.merge_bucket(b, packed)
-    ref = BloomFilter(10_000, 0.01)
-    ref.add_many(keys)
-    assert bf.to_bytes() == ref.to_bytes()
-    # bucket id is the signed low bits — matches JVM `url_hash & (B-1)`
-    assert (bf.bucket_of(np.array([-3], dtype=np.int64))[0]
-            == (-3) % bf.n_buckets)
-
-
-def test_bloom_maybe_col(spark):
+def test_bloom_shards_no_false_negatives_10m(spark):
+    """The seen-set contract (CrawledUrlRepositoryTest.cs:60-89) at 10^7
+    keys against the SHARDED sidecar: absorb distributed, probe bucket-
+    locally, zero false negatives; FPR on absent keys within spec."""
     from pyspark.sql import functions as F
 
-    from abot_spark.functions.udfs import bloom_maybe_col
+    from abot_spark.store import BloomSeenShards
 
-    keys = _keys(20_000)
-    absent = _absent(keys, 20_000)
-    bf = BloomFilter(50_000, 0.01)
-    bf.add_many(keys)
-    bc = spark.sparkContext.broadcast(bf.to_bytes())
-    df = spark.createDataFrame(
-        [(int(k), True) for k in keys[:5_000]]
-        + [(int(k), False) for k in absent[:5_000]],
-        "url_hash long, expected boolean")
-    got = df.withColumn(
-        "maybe", bloom_maybe_col(bc, 50_000, 0.01, F.col("url_hash")))
-    # all inserted keys must probe True; absent keys may rarely FP
-    assert got.filter("expected AND NOT maybe").count() == 0
-    fp = got.filter("NOT expected AND maybe").count()
-    assert fp < 5_000 * 0.05
+    shards = BloomSeenShards(
+        tempfile.mkdtemp(prefix="abot-bshards-"), n_shards=64,
+        expected_items=10_000_000, fpp=0.01)
+    present = spark.range(10_000_000).select(
+        F.xxhash64("id").alias("url_hash"))
+    shards.absorb(present, "url_hash", wave=0)
+    assert shards.absorbed_through(0) == 0
+
+    got = shards.prober(0).probe(present, num_partitions=32)
+    assert got.filter("NOT maybe_seen").count() == 0   # no false negatives
+
+    absent = spark.range(10_000_000, 10_200_000).select(
+        F.xxhash64("id").alias("url_hash"))
+    fp = shards.prober(0).probe(absent).filter("maybe_seen").count()
+    assert fp < 200_000 * 0.02   # target 1%; pow2-rounded m only lowers it
+
+
+def test_bloom_shards_incremental_waves_and_recovery(spark):
+    """Wave-incremental absorbs accumulate; drop_after rolls partially-
+    absorbed waves back so an older marker never over-claims coverage."""
+    from abot_spark.store import BloomSeenShards
+
+    a, b = _keys(20_000, 1), _keys(20_000, 2)
+    base = tempfile.mkdtemp(prefix="abot-bshards-")
+    shards = BloomSeenShards(base, n_shards=16,
+                             expected_items=100_000, fpp=0.01)
+    df_a = spark.createDataFrame([(int(k),) for k in a], "url_hash long")
+    df_b = spark.createDataFrame([(int(k),) for k in b], "url_hash long")
+    shards.absorb(df_a, "url_hash", wave=0)
+    shards.absorb(df_b, "url_hash", wave=1)
+    assert shards.absorbed_through(5) == 1
+
+    both = spark.createDataFrame(
+        [(int(k),) for k in np.concatenate([a, b])], "url_hash long")
+    assert shards.prober(1).probe(both).filter("NOT maybe_seen").count() == 0
+
+    # crash recovery: drop wave 1 -> marker and files gone, wave-0 state
+    # intact (b keys mostly unknown again, a keys all still present)
+    BloomSeenShards.drop_after(base, keep_through=0)
+    assert shards.absorbed_through(5) == 0
+    p0 = shards.prober(0)
+    assert p0.probe(df_a).filter("NOT maybe_seen").count() == 0
+    assert p0.probe(df_b).filter("maybe_seen").count() < len(b) * 0.05
+
+
+def test_bloom_shards_rebuild_replaces_stale(spark):
+    """rebuild() discards whatever was on disk — the resume path for a
+    lost/stale sidecar under an engaged-size seen table."""
+    from abot_spark.store import BloomSeenShards
+
+    stale, live = _keys(5_000, 3), _keys(5_000, 4)
+    base = tempfile.mkdtemp(prefix="abot-bshards-")
+    shards = BloomSeenShards(base, n_shards=8,
+                             expected_items=50_000, fpp=0.01)
+    shards.absorb(spark.createDataFrame(
+        [(int(k),) for k in stale], "url_hash long"), "url_hash", wave=0)
+    shards.rebuild(spark.createDataFrame(
+        [(int(k),) for k in live], "url_hash long"), "url_hash", wave=3)
+    assert shards.absorbed_through(3) == 3
+    p = shards.prober(3)
+    assert p.probe(spark.createDataFrame(
+        [(int(k),) for k in live], "url_hash long")) \
+        .filter("NOT maybe_seen").count() == 0
+    assert p.probe(spark.createDataFrame(
+        [(int(k),) for k in np.setdiff1d(stale, live)], "url_hash long")) \
+        .filter("maybe_seen").count() < 5_000 * 0.05
 
 
 # -- spark: cuckoo sidecars -------------------------------------------------
@@ -231,10 +237,11 @@ def test_crawl_parity_bloom_on_vs_off(spark):
     assert order_on == order_off
     assert seen_on == seen_off
 
-    # the sidecar snapshot matches the table it indexes (resume path)
-    loaded = c_on.store.load_bloom(state_on.wave + 1)
-    assert loaded is not None
-    bf = loaded[0]
-    hashes = np.array(sorted(seen_on), dtype=np.int64)
-    assert not (~bf.contains_many(hashes)).any()
-    assert bf.n_added == len(hashes)
+    # the shard sidecar matches the table it indexes (resume path): the
+    # marker proves coverage through wave+1 and every seen hash probes True
+    shards = c_on._seen_shards
+    assert shards.absorbed_through(state_on.wave + 1) == state_on.wave + 1
+    probe = spark.createDataFrame(
+        [(int(h),) for h in sorted(seen_on)], "url_hash long")
+    got = shards.prober(state_on.wave + 1).probe(probe)
+    assert got.filter("NOT maybe_seen").count() == 0
