@@ -881,7 +881,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             capped AS (
               SELECT shingle FROM ex GROUP BY shingle
-              HAVING count(*) > (SELECT count(*) FROM documents) * 0.5),
+              HAVING count(*) > 256),
             pruned AS (
               SELECT * FROM ex
               WHERE shingle NOT IN (SELECT shingle FROM capped)),

@@ -27,9 +27,10 @@ Scale notes (100 TB corpus):
 - the shingle-explode joins are the canonical "explode then aggregate"
   MinHashLSH layout (cf. Spark MLlib MinHashLSH, reimplemented here
   engine-agnostically so the oracle can verify it);
-- skewed buckets (boilerplate shingles) should be dropped by a document-
-  frequency cap — ``max_df`` prunes shingles occurring in more than the
-  given fraction of docs before the pair join.
+- skewed buckets (boilerplate shingles) are dropped by a document-
+  frequency cap — ABSOLUTE (``max_df_count``, default 256) so a posting
+  list's pair fan-out stays bounded independent of corpus size; the
+  ``max_df`` fraction remains as an opt-in for small fixtures.
 """
 
 from __future__ import annotations
@@ -188,22 +189,33 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
 
 def ngram_jaccard_pairs(documents: DataFrame, shingle_n: int = 3,
                         threshold: float = 0.5,
-                        max_df: float = 0.5) -> DataFrame:
+                        max_df: float = 0.5,
+                        max_df_count: int | None = 256) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs above ``threshold``.
 
     Pair generation is via the shingle inverted index (join on shingle),
-    with document-frequency pruning of boilerplate shingles (``max_df``)
-    to kill bucket skew before the self-join.
+    with document-frequency pruning of boilerplate shingles to kill
+    bucket skew before the pair expansion.  The cap is ABSOLUTE by
+    default (``max_df_count``, like real LSH/CCNet pipelines): a
+    posting list expands to at most ``max_df_count^2/2`` pairs no matter
+    how big the corpus is — a *fractional* cap (0.5 of 10^9 docs) bounds
+    nothing at web scale, and a shingle shared by more than a few hundred
+    documents is boilerplate, not signal.  Pass ``max_df_count=None`` to
+    fall back to the ``max_df`` corpus fraction (small fixtures where an
+    absolute cap would prune nothing); only that fallback pays a count
+    action (on the raw input, so parquet count-pushdown applies).
     """
+    if max_df_count is not None:
+        df_cap = int(max_df_count)
+    else:
+        df_cap = int(documents.count() * max_df)
     documents = spread_input(documents)
-    n_docs = documents.count()
     exploded = documents.select(
         "doc_id", F.split(normalize_text(F.col("text")), " ").alias("_toks")
     ).select(
         "doc_id",
         F.explode(shingles_from_tokens(F.col("_toks"), shingle_n))
         .alias("shingle"))
-    df_cap = int(n_docs * max_df)
     # inverted index in ONE shuffle: shingle -> sorted doc list; df-pruning
     # (boilerplate shingles) is a filter on the aggregated list size, so no
     # separate df pass and no second copy of the exploded rows shuffles.
@@ -288,6 +300,7 @@ def duplicate_clusters(documents: DataFrame, pairs: DataFrame | None = None,
         .withColumn("label", F.col("doc_id")).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).collect()[0][0] or 0
 
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.select(F.col("doc_id").alias("dst"),
@@ -317,9 +330,20 @@ def duplicate_clusters(documents: DataFrame, pairs: DataFrame | None = None,
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0] or 0
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()
+    if not converged:
+        # with path halving this needs component depth > 2^max_iter —
+        # practically unreachable, but never return non-canonical
+        # cluster_ids silently
+        import warnings
+        warnings.warn(
+            f"duplicate_clusters: label propagation did not converge in "
+            f"{max_iter} rounds; cluster_ids may be non-canonical "
+            f"(labels still point into their component but not yet at "
+            f"its minimum) — raise max_iter", RuntimeWarning)
     return (
         documents.select("doc_id").distinct()
         .join(labels, "doc_id", "left")
@@ -345,16 +369,25 @@ def paragraph_dedup(documents: DataFrame, max_doc_frequency: int = 1,
     structural, never counted and never removed.
 
     Scale notes (100 TB corpus): one explode + one partial-aggregated
-    groupBy on the paragraph key yields the *boilerplate* key set — tiny
-    by definition (only keys crossing the frequency cap), so it
-    broadcasts into a mark join; then ONE groupBy(doc_id) reassembles
-    text and counts in the same aggregate (boilerplate is marked, not
-    anti-joined away, so totals/removed/clean never need a second
-    shuffle or a re-join).  No driver state, no O(n²).
+    groupBy on the paragraph key yields the *boilerplate* key set; it
+    marks the exploded paragraphs via a shuffled equi-join on ``_key`` —
+    deliberately NOT broadcast: with ``max_doc_frequency=1`` every
+    paragraph occurring in >=2 documents qualifies, and over a web corpus
+    that set is corpus-sized, not small (nav bars and banners are only
+    its head).  Catalyst/AQE still broadcasts it when the runtime size is
+    actually small.  Then ONE groupBy(doc_id) reassembles text and counts
+    in the same aggregate (boilerplate is marked, not anti-joined away,
+    so totals/removed/clean never need a second shuffle or a re-join).
+    No driver state, no O(n²).
     """
+    # sep is a LITERAL separator on both sides: quote it for the split
+    # regex (java.util.regex \Q...\E) so metacharacter seps ('.', '|')
+    # split the same spans array_join reassembles
+    sep_pattern = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = documents.select(
         "doc_id",
-        F.posexplode(F.split(F.coalesce(F.col("text"), F.lit("")), sep))
+        F.posexplode(F.split(F.coalesce(F.col("text"), F.lit("")),
+                             sep_pattern))
         .alias("pos", "para"),
     ).withColumn("_key", F.trim(F.lower(F.col("para"))))
 
@@ -365,7 +398,7 @@ def paragraph_dedup(documents: DataFrame, max_doc_frequency: int = 1,
         .filter(F.col("_docs") > max_doc_frequency)
         .select("_key", F.lit(True).alias("_boiler")))
 
-    marked = paras.join(F.broadcast(boiler), "_key", "left") \
+    marked = paras.join(boiler, "_key", "left") \
         .withColumn("_boiler", F.coalesce("_boiler", F.lit(False)))
 
     return marked.groupBy("doc_id").agg(

@@ -330,6 +330,53 @@ def test_paragraph_dedup_frequency_threshold(spark):
     assert out[5]["clean_text"] == "solo f"
 
 
+def test_paragraph_dedup_broadcast_hostile_majority_boiler(spark):
+    """>50% of all paragraphs boilerplate — the web-scale shape where a
+    broadcast of the boilerplate key set would OOM; the shuffled mark
+    join must stay exact (VERDICT r1 fix #2)."""
+    header = ["nav home", "nav about", "footer contact", "cookie notice"]
+    rows = [(i, "\n".join(header + [f"unique body {i}"])) for i in range(40)]
+    out = {r["doc_id"]: r for r in D.paragraph_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert len(out) == 40
+    for i in range(40):
+        assert out[i]["clean_text"] == f"unique body {i}"
+        assert out[i]["n_paragraphs"] == 5 and out[i]["n_removed"] == 4
+
+
+def test_paragraph_dedup_regex_metachar_separator(spark):
+    """sep is a literal, not a regex: '.' must split on dots only."""
+    rows = [(0, "shared part.unique a"), (1, "shared part.unique b")]
+    out = {r["doc_id"]: r for r in D.paragraph_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        sep=".").collect()}
+    assert out[0]["clean_text"] == "unique a"
+    assert out[0]["n_paragraphs"] == 2 and out[0]["n_removed"] == 1
+    assert out[1]["clean_text"] == "unique b"
+
+
+def test_ngram_jaccard_absolute_df_cap_bounds_skew(spark):
+    """One shingle present in 90% of docs: with the absolute cap it is
+    pruned, so pair fan-out is bounded by the rare shingles only
+    (VERDICT r1 fix #3).  Docs sharing ONLY the boilerplate shingle must
+    not pair at all."""
+    boiler = "click here to accept"
+    rows = []
+    for i in range(40):
+        uniq = f"unique words number {i} padded filler text"
+        # docs 0..35 carry the boilerplate shingle; 36..39 don't
+        rows.append((i, (boiler + " " + uniq) if i < 36 else uniq))
+    # two docs that genuinely share rare content
+    rows.append((100, boiler + " genuinely shared rare tail content"))
+    rows.append((101, boiler + " genuinely shared rare tail content"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.05,
+                                   max_df_count=8).collect()}
+    # boilerplate-only overlap produces no pair at all: fan-out bounded
+    assert pairs == {(100, 101): 1.0}, f"unexpected pairs {sorted(pairs)}"
+
+
 def test_audio_chunks_overlap_and_tail(spark):
     from abot_spark.ops.multimodal import MEDIA_SCHEMA, chunk_audio
     payload = bytes(range(80))   # 80 bytes -> starts at 0, 32, 64
