@@ -50,6 +50,12 @@ class CrawlConfig:
     is_http_request_auto_redirects_enabled: bool = True
     is_http_request_automatic_decompression_enabled: bool = False
     is_send_cookies_enabled: bool = False
+    # HTTP Basic auth on every request when enabled (the reference's
+    # CrawlConfiguration.IsAlwaysLogin/LoginUser/LoginPassword,
+    # PageRequester.cs:209-216: Authorization: Basic base64(user:password))
+    is_always_login: bool = False
+    login_user: str = ""
+    login_password: str = ""
     is_ssl_certificate_validation_enabled: bool = True
     is_respect_url_named_anchor_or_hashbang_enabled: bool = False
     # parser backend, like the reference's HAP vs AngleSharp choice

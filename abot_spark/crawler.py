@@ -82,6 +82,7 @@ class WaveCrawler:
         self._corpus_future = None
         self._robots_rules: DataFrame | None = None
         self._robots_delay_ms: dict[str, int] = {}
+        self._robots_delays_df: DataFrame | None = None
         self._seen_shards = None     # BloomSeenShards sidecar (see _prepare)
         self._shards_through = None  # wave the shards cover seen through
 
@@ -165,34 +166,52 @@ class WaveCrawler:
                         self._shards_through = state.wave + 1
         self._robots_rules = None
         self._robots_delay_ms = {}
+        self._robots_delays_df = None
         if (self.cfg.is_respect_robots_dot_text_enabled
                 and self.robots_df is not None and not state.robots_dropped):
-            # robots parsed once per domain driver-side (RobotsDotTextFinder
-            # runs on the crawl driver in the reference too); rules become a
-            # broadcast dim table.  Parity mode restricts to the root domain
-            # (the reference only fetches robots for the root —
-            # PoliteWebCrawler.cs:128-131); per_domain mode generalizes.
-            rows = self.robots_df.collect()
             ua = self.cfg.robots_dot_text_user_agent_string
-            rules_rows = []
-            for r in rows:
-                dom, txt = r["domain"], r["robots_txt"]
-                if not self.per_domain_robots and dom != state.root_authority:
-                    continue
-                flat = parse_robots_rules(f"http://{dom}/", txt, ua)
-                rules_rows.append(
-                    (dom, flat["allow_rules"], flat["disallow_rules"]))
-                delay_s = min(flat["crawl_delay_s"],
-                              self.cfg.max_robots_dot_text_crawl_delay_in_seconds)
-                delay_ms = int(delay_s * 1000)
-                # robots Crawl-delay overrides only when larger than the
-                # config minimum (PoliteWebCrawler.cs:146-167)
-                if delay_ms > self.cfg.min_crawl_delay_per_domain_milli_seconds:
-                    self._robots_delay_ms[dom] = delay_ms
-            if rules_rows:
-                self._robots_rules = self.spark.createDataFrame(
-                    rules_rows, "domain string, allow_rules array<string>, "
-                                "disallow_rules array<string>")
+            cap_s = self.cfg.max_robots_dot_text_crawl_delay_in_seconds
+            base_ms = self.cfg.min_crawl_delay_per_domain_milli_seconds
+            if not self.per_domain_robots:
+                # Parity mode: the reference only fetches robots for the
+                # ROOT (PoliteWebCrawler.cs:128-131) and parses it on the
+                # crawl driver (RobotsDotTextFinder) — one filtered row
+                # collected, same as the reference's single fetch.
+                rows = self.robots_df.filter(
+                    F.col("domain") == state.root_authority).collect()
+                rules_rows = []
+                for r in rows:
+                    dom, txt = r["domain"], r["robots_txt"]
+                    flat = parse_robots_rules(f"http://{dom}/", txt, ua)
+                    rules_rows.append(
+                        (dom, flat["allow_rules"], flat["disallow_rules"]))
+                    delay_ms = int(min(flat["crawl_delay_s"], cap_s) * 1000)
+                    # robots Crawl-delay overrides only when larger than
+                    # the config minimum (PoliteWebCrawler.cs:146-167)
+                    if delay_ms > base_ms:
+                        self._robots_delay_ms[dom] = delay_ms
+                if rules_rows:
+                    # one domain's rules: a broadcast dim by construction
+                    self._robots_rules = F.broadcast(
+                        self.spark.createDataFrame(
+                            rules_rows,
+                            "domain string, allow_rules array<string>, "
+                            "disallow_rules array<string>"))
+            else:
+                # Scale mode (S5 per-domain): parse EVERY domain's robots
+                # distributively (Arrow mapInPandas — functions/robots.py
+                # robots_rules_table); no collect, no driver loop.  The
+                # parsed dim table is cached: the F6 gate joins it every
+                # wave and the politeness split joins the Crawl-delay
+                # slice; Catalyst/AQE picks broadcast vs shuffle by size.
+                from abot_spark.functions.robots import robots_rules_table
+                parsed = robots_rules_table(self.robots_df, ua, cap_s) \
+                    .persist()
+                self._robots_rules = parsed.select(
+                    "domain", "allow_rules", "disallow_rules")
+                self._robots_delays_df = parsed.filter(
+                    F.col("delay_ms") > base_ms).select(
+                    "domain", F.col("delay_ms").alias("_robots_delay_ms"))
 
     # -- public API ----------------------------------------------------------
 
@@ -351,7 +370,9 @@ class WaveCrawler:
                 and self.robots_df is not None and seeds):
             root = seeds[0]
             txt = {r["domain"]: r["robots_txt"]
-                   for r in self.robots_df.collect()}.get(state.root_authority)
+                   for r in self.robots_df.filter(
+                       F.col("domain") == state.root_authority).collect()
+                   }.get(state.root_authority)
             if txt is not None:
                 robots = RobotsDotText(root, txt)
                 ua = cfg.robots_dot_text_user_agent_string
@@ -361,6 +382,7 @@ class WaveCrawler:
                     state.robots_dropped = True
                     self._robots_rules = None
                     self._robots_delay_ms = {}
+                    self._robots_delays_df = None
 
         if self.use_sitemaps:
             seeds = seeds + self._sitemap_items(seeds, state)
@@ -440,7 +462,8 @@ class WaveCrawler:
         if self.robots_df is None or self.pages is None or not seeds:
             return []
         robots_txt = {r["domain"]: r["robots_txt"]
-                      for r in self.robots_df.collect()}
+                      for r in self.robots_df.filter(
+                          F.col("domain") == state.root_authority).collect()}
         txt = robots_txt.get(state.root_authority)
         if not txt:
             return []
@@ -854,8 +877,11 @@ class WaveCrawler:
         """Per-domain per-wave quota: at most
         ``wave_seconds*1000/delay_ms`` fetches per domain per wave, FIFO by
         seq; the remainder defers to the next wave keeping its seq (per-
-        domain FIFO preserved).  Also defers rows whose ``not_before_ms``
-        (Retry-After) is still in the future.
+        domain FIFO preserved).  A future ``not_before_ms`` (Retry-After)
+        never defers a row — the wave fetches it in place and the
+        simulated clock absorbs the wait via ``elapsed_ms`` (matching the
+        reference's WaitMinimumRetryDelay, which blocks the dequeued page;
+        see the comment at the branch below).
 
         Returns ``(due, deferred, stats_df)`` — all lazy.  ``stats_df`` is
         a <=2-row aggregate the caller collects ONCE per wave: per is-due
@@ -872,10 +898,19 @@ class WaveCrawler:
         cfg = self.cfg
         base = cfg.min_crawl_delay_per_domain_milli_seconds
 
-        delay_map = F.create_map(
-            *[F.lit(x) for kv in delays.items() for x in kv]) if delays else None
+        delays_df = self._robots_delays_df
+        have_delays = bool(delays) or delays_df is not None
         delay_col = F.lit(base)
-        if delay_map is not None:
+        if delays_df is not None:
+            # scale mode (per-domain robots): Crawl-delays come from the
+            # distributed rules table — a join on domain, not a driver-
+            # built literal map (millions of domains would not fit one)
+            frontier = frontier.join(delays_df, "domain", "left")
+            delay_col = F.greatest(
+                F.coalesce(F.col("_robots_delay_ms"), F.lit(0)), F.lit(base))
+        elif delays:
+            delay_map = F.create_map(
+                *[F.lit(x) for kv in delays.items() for x in kv])
             delay_col = F.greatest(
                 F.coalesce(delay_map.getItem(F.col("domain")), F.lit(0)),
                 F.lit(base))
@@ -887,7 +922,7 @@ class WaveCrawler:
         # let later-seq retries leapfrog and hand their children earlier
         # seqs than the serial loop gives.  The wave fetches the row and
         # the simulated clock absorbs the wait (elapsed_ms below).
-        if not delays and base <= 0:
+        if not have_delays and base <= 0:
             due, deferred = frontier, None
             tagged = frontier.withColumn("_due", F.lit(True)) \
                              .withColumn("_delay", F.lit(0))
@@ -924,8 +959,10 @@ class WaveCrawler:
                     .withColumn("_delay", delay_col)
             is_due = (F.coalesce(F.col("_qrank"), F.lit(1 << 62))
                       <= F.col("_quota"))
-            due = ranked.filter(is_due).drop("_qrank", "_quota", "_delay")
-            deferred = ranked.filter(~is_due).drop("_qrank", "_quota", "_delay")
+            due = ranked.filter(is_due).drop(
+                "_qrank", "_quota", "_delay", "_robots_delay_ms")
+            deferred = ranked.filter(~is_due).drop(
+                "_qrank", "_quota", "_delay", "_robots_delay_ms")
             tagged = ranked.withColumn("_due", is_due)
 
         stats_df = (

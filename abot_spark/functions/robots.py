@@ -194,3 +194,42 @@ def path_allowed(path: str, allow_rules: list[str], disallow_rules: list[str]) -
                 if specificity >= 0:
                     best_len, best_allow = specificity, verdict
     return best_allow
+
+
+def robots_rules_table(robots_df, user_agent: str, max_delay_s: float):
+    """Distributed per-domain robots parse (S5 scale mode): ``(domain,
+    robots_txt)`` rows -> ``(domain, allow_rules, disallow_rules,
+    delay_ms)`` via an Arrow ``mapInPandas`` kernel — one parse per domain
+    row, executor-side.
+
+    The reference's ``RobotsDotTextFinder`` parses on the crawl driver,
+    which is fine for its single-site scope (and our parity mode keeps
+    that path for the root domain); gating millions of domains through a
+    driver loop + collect is a bottleneck, so scale mode produces the
+    rules dim table as a DataFrame that joins onto candidates
+    (``plans/wave.py`` F6 gate) and onto the frontier for per-domain
+    Crawl-delay pacing (C3) without any driver round-trip.
+
+    ``delay_ms`` is already capped at ``max_delay_s``
+    (MaxRobotsDotTextCrawlDelayInSeconds, PoliteWebCrawler.cs:146-167).
+    """
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            doms, allows, disallows, delays = [], [], [], []
+            for dom, txt in zip(pdf["domain"], pdf["robots_txt"]):
+                flat = parse_robots_rules(f"http://{dom}/", txt, user_agent)
+                doms.append(dom)
+                allows.append(flat["allow_rules"])
+                disallows.append(flat["disallow_rules"])
+                delays.append(
+                    int(min(flat["crawl_delay_s"], max_delay_s) * 1000))
+            yield pd.DataFrame({
+                "domain": doms, "allow_rules": allows,
+                "disallow_rules": disallows, "delay_ms": delays})
+
+    return robots_df.select("domain", "robots_txt").mapInPandas(
+        parse, "domain string, allow_rules array<string>, "
+               "disallow_rules array<string>, delay_ms long")

@@ -69,9 +69,16 @@ class HttpFetcher:
     """Live fetch via stdlib urllib — the ``HttpWebRequest`` surface of
     ``PageRequester.BuildRequestObject`` (``Abot/Core/Requests/
     PageRequester.cs:183-219``): user-agent, ``Accept: */*``,
-    gzip/deflate ``Accept-Encoding``, request timeout, and the
-    auto-redirect switch.  Auth/cookies are additive headers a deployment
-    passes via ``extra_headers``."""
+    gzip/deflate ``Accept-Encoding``, request timeout, the auto-redirect
+    switch, HTTP Basic auth when ``is_always_login``
+    (``Authorization: Basic base64(ascii(user:password))`` — byte-for-byte
+    the reference's header, ``PageRequester.cs:209-216``), and a cookie
+    jar when ``is_send_cookies_enabled`` (the reference's per-requester
+    ``CookieContainer``, ``:200-201`` + ``ProcessResponseObject``; here
+    one jar per fetcher instance = per Python worker, so a domain's
+    fetches — co-located by the salted domain partitioning — share their
+    session cookies).  Further headers a deployment needs ride in
+    ``extra_headers``."""
 
     def __init__(self, cfg: CrawlConfig, extra_headers: dict | None = None):
         self.user_agent = cfg.user_agent_string
@@ -79,6 +86,37 @@ class HttpFetcher:
         self.auto_redirect = cfg.is_http_request_auto_redirects_enabled
         self.max_redirects = cfg.http_request_max_auto_redirects
         self.extra_headers = dict(extra_headers or {})
+        if cfg.is_always_login:
+            import base64
+            cred = base64.b64encode(
+                f"{cfg.login_user}:{cfg.login_password}".encode("ascii")
+            ).decode("ascii")
+            self.extra_headers.setdefault("Authorization", "Basic " + cred)
+        self.send_cookies = cfg.is_send_cookies_enabled
+        self._cookie_jar = None
+
+    def __getstate__(self):
+        # the jar is per-worker state (its RLock doesn't pickle): each
+        # executor worker lazily builds its own on first use
+        state = self.__dict__.copy()
+        state["_cookie_jar"] = None
+        return state
+
+    def _handlers(self):
+        import urllib.request
+
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, req, fp, code, msg, headers, newurl):
+                return None
+
+        handlers = [] if self.auto_redirect else [_NoRedirect()]
+        if self.send_cookies:
+            if self._cookie_jar is None:
+                from http.cookiejar import CookieJar
+                self._cookie_jar = CookieJar()
+            handlers.append(
+                urllib.request.HTTPCookieProcessor(self._cookie_jar))
+        return handlers
 
     def __call__(self, url: str) -> dict:
         import gzip
@@ -87,12 +125,7 @@ class HttpFetcher:
         import urllib.request
         import zlib
 
-        class _NoRedirect(urllib.request.HTTPRedirectHandler):
-            def redirect_request(self, req, fp, code, msg, headers, newurl):
-                return None
-
-        handlers = [] if self.auto_redirect else [_NoRedirect()]
-        opener = urllib.request.build_opener(*handlers)
+        opener = urllib.request.build_opener(*self._handlers())
         if self.auto_redirect:
             # HTTPRedirectHandler caps via .max_redirections on the handler
             for h in opener.handlers:

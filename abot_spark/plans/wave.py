@@ -669,7 +669,11 @@ def schedule_wave(
 
     # -- F6 robots gate (PoliteWebCrawler.ShouldCrawlPage, before base F1)
     if robots_rules is not None:
-        cand = cand.join(F.broadcast(robots_rules), "domain", "left")
+        # join strategy is the CALLER's call: parity mode passes a one-
+        # domain dim pre-wrapped in F.broadcast; per-domain scale mode
+        # passes the distributed rules table and lets Catalyst/AQE pick
+        # (a forced broadcast of millions of domains' rules would OOM)
+        cand = cand.join(robots_rules, "domain", "left")
         robots_ok = robots_allowed_col(
             F.col("path"), F.col("allow_rules"), F.col("disallow_rules"))
         cand = cand.withColumn("robots_ok", robots_ok) \

@@ -95,11 +95,13 @@ def test_salted_colocation_and_spread(spark):
 
 class _Handler(http.server.BaseHTTPRequestHandler):
     pages = {}
+    requests: list = []   # (path, headers) of every request, for asserts
 
     def log_message(self, *a):  # quiet
         pass
 
     def do_GET(self):
+        _Handler.requests.append((self.path, dict(self.headers)))
         p = self.pages.get(self.path)
         if p is None:
             self.send_response(404)
@@ -130,6 +132,8 @@ def http_srv():
         "/r": (301, {"Location": "/a", "Content-Type": "text/html"}, b""),
         "/503": (503, {"Retry-After": "7", "Content-Type": "text/html"},
                  b"busy"),
+        "/setc": (200, {"Content-Type": "text/html",
+                        "Set-Cookie": "sid=42; Path=/"}, b"<html>c</html>"),
     }
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -162,6 +166,43 @@ def test_http_fetcher_live(http_srv):
     # connection failure -> the fetch_wave no-response synth
     r = f("http://127.0.0.1:9/never")
     assert r["status_code"] == 404 and r["error"] == "WebException"
+
+
+def test_http_fetcher_basic_auth_header(http_srv):
+    """IsAlwaysLogin sends Authorization: Basic base64(ascii(user:pass))
+    on every request — byte-identical to PageRequester.cs:209-216."""
+    import base64
+
+    f = HttpFetcher(CrawlConfig(is_always_login=True, login_user="bob",
+                                login_password="s3cret"))
+    assert f(f"{http_srv}/")["status_code"] == 200
+    sent = _Handler.requests[-1][1]
+    assert sent.get("Authorization") == (
+        "Basic " + base64.b64encode(b"bob:s3cret").decode("ascii"))
+    # off by default: no Authorization header leaves the fetcher
+    HttpFetcher(CrawlConfig())(f"{http_srv}/")
+    assert "Authorization" not in _Handler.requests[-1][1]
+
+
+def test_http_fetcher_cookie_jar(http_srv):
+    """IsSendCookiesEnabled: Set-Cookie responses populate a per-fetcher
+    jar replayed on later requests (the reference's CookieContainer,
+    PageRequester.cs:200-201 + ProcessResponseObject); disabled mode
+    never echoes cookies back."""
+    jar_on = HttpFetcher(CrawlConfig(is_send_cookies_enabled=True))
+    assert jar_on(f"{http_srv}/setc")["status_code"] == 200
+    assert jar_on(f"{http_srv}/")["status_code"] == 200
+    assert "sid=42" in (_Handler.requests[-1][1].get("Cookie") or "")
+
+    jar_off = HttpFetcher(CrawlConfig())
+    jar_off(f"{http_srv}/setc")
+    jar_off(f"{http_srv}/")
+    assert "Cookie" not in _Handler.requests[-1][1]
+
+    # pickling for the executor closure never ships the live jar
+    import pickle
+    clone = pickle.loads(pickle.dumps(jar_on))
+    assert clone._cookie_jar is None and clone.send_cookies
 
 
 def test_salted_fetch_live_http(spark, http_srv):

@@ -175,3 +175,31 @@ def test_matcher_differential_fuzz():
         assert serial_verdict == plan_verdict, (txt, path, ua)
 
     check()
+
+
+def test_robots_rules_table_matches_driver_parse(spark):
+    """S5 scale mode: the distributed mapInPandas parse must equal the
+    driver-side parse_robots_rules for every domain, including the
+    Crawl-delay cap and NULL robots_txt (no robots -> empty rules)."""
+    from abot_spark.functions.robots import robots_rules_table
+
+    fixture = [
+        ("a.com", "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"),
+        ("b.com", "User-agent: abot\nDisallow: /x\n\n"
+                  "User-agent: *\nAllow: /x\nDisallow: /\n"),
+        ("c.com", None),                       # never fetched a robots.txt
+        ("d.com", "User-agent: *\nCrawl-delay: 99\n"),   # capped at 5 s
+        ("e.com", ""),                         # empty file: allow all
+    ]
+    df = spark.createDataFrame(fixture, "domain string, robots_txt string")
+    got = {r["domain"]: r for r in
+           robots_rules_table(df, "abot", max_delay_s=5.0).collect()}
+    assert set(got) == {d for d, _ in fixture}
+    for dom, txt in fixture:
+        flat = parse_robots_rules(f"http://{dom}/", txt, "abot")
+        assert list(got[dom]["allow_rules"]) == flat["allow_rules"], dom
+        assert list(got[dom]["disallow_rules"]) == flat["disallow_rules"], dom
+        assert got[dom]["delay_ms"] == int(
+            min(flat["crawl_delay_s"], 5.0) * 1000), dom
+    assert got["d.com"]["delay_ms"] == 5000      # the cap bit
+    assert got["a.com"]["delay_ms"] == 2000

@@ -262,6 +262,39 @@ def test_per_domain_robots_scale_mode(spark, web):
     assert not any("/private/" in u for u in urls)
 
 
+def test_per_domain_robots_crawl_delay_pacing(spark, web):
+    """Scale mode applies EVERY domain's robots Crawl-delay through the
+    politeness quota via the distributed rules table (no driver map):
+    d1 declares Crawl-delay: 2, so at wave_seconds=2 its quota is 1
+    fetch/wave.  Parity mode only loads the root's robots, so d1's
+    delay is ignored there — the differential pins the scale path."""
+    cfg = BASE_CFG.with_(is_external_page_crawling_enabled=True,
+                         is_external_page_links_crawling_enabled=True,
+                         wave_seconds=2.0)
+
+    def run(per_domain):
+        wdir = tempfile.mkdtemp(prefix="abot-pdpace-")
+        c = WaveCrawler(spark, cfg, wdir, web["pages"], web["robots"])
+        c.per_domain_robots = per_domain
+        state = c.crawl([SEED], max_waves=40)
+        rows = c.store.read_all("fetched", state.wave).collect()
+        waves = {}
+        for r in rows:
+            if r["url"].startswith("http://d1.example.com/"):
+                waves.setdefault(r["wave"], 0)
+                waves[r["wave"]] += 1
+        return waves
+
+    scale_waves = run(True)
+    assert scale_waves, "fixture must reach d1"
+    assert max(scale_waves.values()) == 1, (
+        f"d1 quota must be 1/wave under its Crawl-delay: {scale_waves}")
+    parity_waves = run(False)
+    assert max(parity_waves.values()) > 1, (
+        "parity mode ignores non-root robots delay; fixture too small "
+        "to differentiate" )
+
+
 def test_manual_redirect_parity(spark, web):
     """T6 manual-redirect op (auto-redirects disabled): 3xx rows spawn
     same-depth children via the Location header (ProcessRedirect,
