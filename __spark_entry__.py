@@ -424,9 +424,13 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN with deterministic Lloyd-refined centroids (2 rounds,
+    exact-decimal means) and nprobe=2 multi-probe search; the oracle
+    unrolls the identical rounds in SQL (_ivf_sql)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
-    return S.ivf_topk(emb, [0, 1, 2, 3, 4], k=5, n_centroids=8) \
+    return S.ivf_topk(emb, [0, 1, 2, 3, 4], k=5, n_centroids=8,
+                      iters=2, nprobe=2) \
         .orderBy("query_id", "rank")
 
 
@@ -648,6 +652,66 @@ def _simhash_sql(bits: int = 16) -> str:
 def _minhash_sig_sql(i: int, n: int = 3) -> str:
     return (f"list_min(list_transform({_shingles_sql(n)},"
             f" s -> md5('{i}:' || s)))")
+
+
+def _ivf_sql(C: int = 8, iters: int = 2, nprobe: int = 2, k: int = 5,
+             nq: int = 5) -> str:
+    """DuckDB mirror of ops.similarity.ivf_topk: the same seeded Lloyd
+    rounds unrolled as CTEs.  Centroid means use exact DECIMAL sums cast
+    to double (order-independent — identical bits to the Spark side's
+    decimal aggregate), so assignments and scores match exactly."""
+
+    def cos(a: str, b: str) -> str:
+        return (f"round(list_inner_product({a}, {b}) / "
+                f"(sqrt(list_inner_product({a}, {a})) * "
+                f"sqrt(list_inner_product({b}, {b}))), 4)")
+
+    parts = [f"c0 AS (SELECT vec_id AS cluster, embedding::DOUBLE[] AS cv "
+             f"FROM embeddings WHERE vec_id < {C})"]
+    prev = "c0"
+    cos_ec = cos("e.embedding::DOUBLE[]", "c.cv")
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i} AS (SELECT e.vec_id, c.cluster, row_number() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cluster ASC"
+            f") AS rnk FROM embeddings e CROSS JOIN {prev} c)")
+        parts.append(
+            f"m{i} AS (SELECT a.cluster, u.pos AS pos, u.val AS val "
+            f"FROM embeddings e JOIN a{i} a "
+            f"ON a.vec_id = e.vec_id AND a.rnk = 1, "
+            f"UNNEST(list_transform(e.embedding::DOUBLE[], "
+            f"(x, i) -> {{'pos': i, 'val': x}})) t(u))")
+        parts.append(
+            f"d{i} AS (SELECT cluster, pos, "
+            f"CAST(SUM(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / count(*) "
+            f"AS val FROM m{i} GROUP BY 1, 2)")
+        parts.append(
+            f"c{i} AS (SELECT cluster, list(val ORDER BY pos) AS cv "
+            f"FROM d{i} GROUP BY cluster)")
+        prev = f"c{i}"
+    parts.append(
+        f"af AS (SELECT e.vec_id, c.cluster, row_number() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cluster ASC"
+        f") AS rnk FROM embeddings e CROSS JOIN {prev} c)")
+    parts.append(
+        "clustered AS (SELECT e.*, a.cluster FROM embeddings e "
+        "JOIN af a ON a.vec_id = e.vec_id AND a.rnk = 1)")
+    parts.append(
+        f"probes AS (SELECT vec_id AS query_id, cluster FROM af "
+        f"WHERE vec_id < {nq} AND rnk <= {nprobe})")
+    cos_ab = cos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")
+    parts.append(
+        f"scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
+        f"{cos_ab} AS score FROM embeddings a "
+        f"JOIN probes p ON p.query_id = a.vec_id "
+        f"JOIN clustered b ON b.cluster = p.cluster "
+        f"AND a.vec_id <> b.vec_id)")
+    parts.append(
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)")
+    return ("WITH " + ",\n".join(parts)
+            + f" SELECT query_id, neighbor_id, rank, score FROM ranked "
+              f"WHERE rank <= {k} ORDER BY query_id, rank")
 
 
 def _bytesum_sql(hex_expr: str) -> str:
@@ -973,30 +1037,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, neighbor_id, rank, score FROM ranked
             WHERE rank <= 5 ORDER BY query_id, rank""",
-        "ann_ivf_topk": f"""
-            WITH assign AS (
-              SELECT a.vec_id, c.vec_id AS cluster,
-                     row_number() OVER (
-                       PARTITION BY a.vec_id
-                       ORDER BY {cosine.replace('b.embedding', 'c.embedding')}
-                         DESC, c.vec_id ASC) AS rnk
-              FROM embeddings a JOIN embeddings c ON c.vec_id < 8),
-            clustered AS (
-              SELECT e.*, s.cluster FROM embeddings e
-              JOIN assign s ON s.vec_id = e.vec_id AND s.rnk = 1),
-            scored AS (
-              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                     {cosine} AS score
-              FROM clustered a JOIN clustered b
-                ON a.vec_id < 5 AND a.cluster = b.cluster
-               AND a.vec_id <> b.vec_id),
-            ranked AS (
-              SELECT *, row_number() OVER (
-                PARTITION BY query_id
-                ORDER BY score DESC, neighbor_id ASC) AS rank
-              FROM scored)
-            SELECT query_id, neighbor_id, rank, score FROM ranked
-            WHERE rank <= 5 ORDER BY query_id, rank""",
+        "ann_ivf_topk": _ivf_sql(C=8, iters=2, nprobe=2, k=5, nq=5),
         "text_quality": f"""
             WITH q AS (
               SELECT doc_id,

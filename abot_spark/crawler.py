@@ -217,10 +217,37 @@ class WaveCrawler:
 
     per_domain_robots: bool = False
     use_sitemaps: bool = False  # S2: GoogleWebCrawler sitemap seeding
-    # F9 ShouldScheduleLinkDecisionMaker: a Column predicate over the
-    # candidate columns (url, domain, path, depth, parent_url, ...);
-    # False vetoes the link silently before the decision pipeline.
+    # -- user decision delegates (WebCrawler.cs:108-112) --------------------
+    # Each is a boolean Column predicate (or a zero-arg callable returning
+    # one) consulted only where the built-in decision allowed; False
+    # denies — the same composition as the reference's Func<...,
+    # CrawlDecision> properties.  Column surface = the stage's row:
+    #
+    # - user_link_predicate (ShouldScheduleLinkDecisionMaker, :1117-1118):
+    #   candidate columns (url, domain, path, depth, parent_url, ...);
+    #   denial is silent, the link is still marked known.
+    # - user_page_predicate (ShouldCrawlPageDecisionMaker, :917-918):
+    #   candidate columns; denial is evented (PageCrawlDisallowed) and
+    #   consumes no budget slot.
+    # - user_download_predicate (ShouldDownloadPageContentDecisionMaker,
+    #   :1175-1180): fetched columns (url, domain, depth, status_code,
+    #   content_type, ...); denial skips content download, so the page
+    #   has no text and its links are not crawled.
+    # - user_links_predicate (ShouldCrawlPageLinksDecisionMaker,
+    #   :867-872): extracted columns (incl. text); denial is evented via
+    #   links_reason.
+    # - user_recrawl_predicate (ShouldRecrawlPageDecisionMaker,
+    #   :955-959): failed-fetch columns (url, domain, retry_count,
+    #   status_code, ...); denial silently drops the retry.
     user_link_predicate = None
+    user_page_predicate = None
+    user_download_predicate = None
+    user_links_predicate = None
+    user_recrawl_predicate = None
+
+    @staticmethod
+    def _hook(pred):
+        return pred() if callable(pred) else pred
 
     # A4: injectable for tests (simulated readings); real monitor by default
     memory_monitor = None
@@ -407,6 +434,7 @@ class WaveCrawler:
             cand, None, empty_events, None, None, self._robots_rules,
             cfg, budget_used=state.budget_used, next_seq=0,
             latched=False,
+            user_page_predicate=self._hook(self.user_page_predicate),
             root_authorities=self._root_authorities(state),
             wave_ts_ms=0, num_partitions=self._nparts,
             # seed candidates share parent_seq=0/kind=1; the order is pos,
@@ -602,7 +630,9 @@ class WaveCrawler:
             fetched = salted_fetch(due, cfg, self.fetcher, delays,
                                    wave_ts_ms=wave_ts,
                                    num_partitions=self._nparts)
-        extracted = W.extract_wave(fetched, cfg) \
+        dl_hook = self._hook(self.user_download_predicate)
+        ln_hook = self._hook(self.user_links_predicate)
+        extracted = W.extract_wave(fetched, cfg, dl_hook, ln_hook) \
             .withColumn("task_partition_id", F.spark_partition_id()) \
             .drop("html").localCheckpoint()
         if self._corpus is not None:
@@ -613,7 +643,8 @@ class WaveCrawler:
             # checkpointed too so the 5 downstream consumers don't replay
             # the frontier scan + quota window + anti-join each
             missing = W.extract_wave(
-                W.fetch_missing(due, extracted.select("url")), cfg) \
+                W.fetch_missing(due, extracted.select("url")), cfg,
+                dl_hook, ln_hook) \
                 .withColumn("task_partition_id", F.spark_partition_id()) \
                 .drop("html").localCheckpoint()
             extracted = extracted.unionByName(missing)
@@ -692,7 +723,9 @@ class WaveCrawler:
         if cfg.max_retry_count > 0:
             # cheap projection off the extracted checkpoint — no UDF rerun,
             # so no checkpoint of its own needed
-            retries = W.retry_candidates(extracted, cfg, wave_ts)
+            retries = W.retry_candidates(
+                extracted, cfg, wave_ts,
+                self._hook(self.user_recrawl_predicate))
 
         events = extracted.select("seq", "domain", "is_retry")
         seen = self.store.read_all("seen", w)
@@ -708,9 +741,8 @@ class WaveCrawler:
             root_authorities=self._root_authorities(state),
             wave_ts_ms=wave_ts + wave_elapsed_ms,
             num_partitions=self._nparts,
-            user_link_predicate=(
-                self.user_link_predicate() if callable(self.user_link_predicate)
-                else self.user_link_predicate),
+            user_link_predicate=self._hook(self.user_link_predicate),
+            user_page_predicate=self._hook(self.user_page_predicate),
             seen_bloom=self._bloom_arg(),
             seq_range_hint=seq_hint,
         )

@@ -88,7 +88,20 @@ class SerialReport:
         return [e.url for e in self.crawled]
 
 
+USER_DENY_REASON = "User decision"   # see plans/wave.py USER_DENY_REASON
+
+
 class SerialCrawler:
+    # user decision delegates (WebCrawler.cs:108-112): python callables
+    # over the stage's PageView, consulted only where the built-in
+    # decision allowed (the reference's composition); the Spark engine
+    # exposes the same five as Column predicates on WaveCrawler.
+    user_should_crawl_page = None        # PageView -> bool (evented deny)
+    user_should_schedule_link = None     # PageView -> bool (silent deny)
+    user_should_download_content = None  # PageView -> bool
+    user_should_crawl_page_links = None  # PageView -> bool (evented deny)
+    user_should_recrawl_page = None      # PageView -> bool (silent deny)
+
     def __init__(self, fixture: WebFixture, cfg: CrawlConfig):
         self.pages = fixture.page_map()
         self.robots_txt = fixture.robots_map()
@@ -201,6 +214,13 @@ class SerialCrawler:
                 if fire_events:
                     report.disallowed.append((page.url, decision.reason))
                 return False
+            # user ShouldCrawlPage (WebCrawler.cs:917-925): after the
+            # built-in allowed; denial fires PageCrawlDisallowed
+            if (self.user_should_crawl_page is not None
+                    and not self.user_should_crawl_page(view)):
+                if fire_events:
+                    report.disallowed.append((page.url, USER_DENY_REASON))
+                return False
             return True
 
         def scheduler_add(page: QueuedPage) -> None:
@@ -261,8 +281,11 @@ class SerialCrawler:
                 has_web_exception=has_exc,
             )
             download = decide_should_download_page_content(view, ctx, cfg)
+            allow_download = download.allow and (
+                self.user_should_download_content is None
+                or self.user_should_download_content(view))
             charset, text = (None, "")
-            if download.allow:
+            if allow_download:
                 charset, text = extract_text(rec.html, rec.content_type)
             if (cfg.max_page_size_active and rec.html
                     and len(rec.html) > cfg.max_page_size_in_bytes):
@@ -270,14 +293,19 @@ class SerialCrawler:
             view.text = text
 
             links_dec = decide_should_crawl_page_links(view, ctx, cfg)
-            if links_dec.allow:
+            links_reason = None if links_dec.allow else links_dec.reason
+            if links_reason is None and (
+                    self.user_should_crawl_page_links is not None
+                    and not self.user_should_crawl_page_links(view)):
+                links_reason = USER_DENY_REASON   # WebCrawler.cs:870-880
+            if links_reason is None:
                 base_url = response_uri  # issue 82: responded address
                 links = get_links(text, base_url, cfg, rec.x_robots_tag)
                 self._schedule_links(page, links, ctx, seen, queue, report,
                                      should_schedule, scheduler_add,
                                      is_internal)
             else:
-                report.links_disallowed.append((page.url, links_dec.reason))
+                report.links_disallowed.append((page.url, links_reason))
 
             report.crawled.append(CrawlEvent(
                 url=page.url, status_code=rec.status_code, depth=page.depth,
@@ -286,7 +314,9 @@ class SerialCrawler:
 
             # F5 retry
             view.retry_count = page.retry_count
-            if decide_should_recrawl_page(view, ctx, cfg).allow:
+            if decide_should_recrawl_page(view, ctx, cfg).allow and (
+                    self.user_should_recrawl_page is None
+                    or self.user_should_recrawl_page(view)):
                 retry = QueuedPage(
                     url=page.url, parent_url=page.parent_url,
                     depth=page.depth, is_internal=page.is_internal,
@@ -308,7 +338,11 @@ class SerialCrawler:
                     url=link, parent_url=page.url, depth=page.depth + 1,
                     is_internal=is_internal(link),
                 )
+                # F9 user delegate (:1117-1118): silent veto BEFORE the
+                # decision pipeline — no events, link still marked known
                 if (child.is_internal or cfg.is_external_page_crawling_enabled) and \
+                        (self.user_should_schedule_link is None
+                         or self.user_should_schedule_link(child)) and \
                         should_schedule(child, fire_events=True):
                     scheduler_add(child)
                     links_scheduled += 1

@@ -85,6 +85,11 @@ ORD = ["parent_seq", "kind", "pos"]  # serial enqueue order within a wave
 # riding with a page.  NULL = the empty bag (a fresh ExpandoObject).
 PAGE_BAG_TYPE = "map<string,string>"
 
+#: audit reason for user-delegate denials (the reference surfaces the
+#: lambda's own CrawlDecision.Reason string; Column predicates are
+#: boolean, so both engines agree on this constant instead)
+USER_DENY_REASON = "User decision"
+
 
 # ---------------------------------------------------------------------------
 # seq assignment — scalable zipWithIndex (SURVEY.md §4.3)
@@ -389,20 +394,33 @@ def fetch_missing(frontier: DataFrame, fetched_urls: DataFrame) -> DataFrame:
     )
 
 
-def extract_wave(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
+def extract_wave(fetched: DataFrame, cfg: CrawlConfig,
+                 user_download_predicate=None,
+                 user_links_predicate=None) -> DataFrame:
     """F3 gate → S4 extract UDF (only on downloadable rows — the extract
     branch is filtered *before* the UDF so Catalyst never ships
-    non-downloadable html bytes to Python) → F4 actual-size gate → F2."""
-    fetched = fetched.withColumn(
-        "download_reason",
-        reason_should_download_page_content(
-            cfg,
-            has_response=F.lit(True),
-            status_code=F.col("status_code"),
-            content_type=F.col("content_type"),
-            content_length=F.coalesce(F.length("html"), F.lit(-1)).cast("long"),
-        ),
+    non-downloadable html bytes to Python) → F4 actual-size gate → F2.
+
+    ``user_download_predicate`` / ``user_links_predicate`` are the user
+    decision delegates (ShouldDownloadPageContentDecisionMaker /
+    ShouldCrawlPageLinksDecisionMaker, ``WebCrawler.cs:1175-1180`` /
+    ``:867-872``): Column predicates over the fetched / extracted row,
+    consulted only where the built-in decision allowed; False denies —
+    no content download (hence no text, no links) / links not crawled
+    (evented via ``links_reason``)."""
+    builtin_download = reason_should_download_page_content(
+        cfg,
+        has_response=F.lit(True),
+        status_code=F.col("status_code"),
+        content_type=F.col("content_type"),
+        content_length=F.coalesce(F.length("html"), F.lit(-1)).cast("long"),
     )
+    if user_download_predicate is not None:
+        builtin_download = F.coalesce(
+            builtin_download,
+            F.when(~F.coalesce(user_download_predicate, F.lit(False)),
+                   F.lit(USER_DENY_REASON)))
+    fetched = fetched.withColumn("download_reason", builtin_download)
     downloadable = fetched.filter(F.col("download_reason").isNull())
     rest = fetched.filter(F.col("download_reason").isNotNull())
 
@@ -423,16 +441,23 @@ def extract_wave(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
     else:
         out = out.withColumn("size_dropped", F.lit(False))
 
+    builtin_links = reason_should_crawl_page_links(
+        cfg,
+        text=F.col("text"),
+        is_internal=F.col("is_internal"),
+        depth=F.col("depth"),
+    )
+    if user_links_predicate is not None:
+        # user F2 delegate: only consulted when the built-in allowed
+        # (reason null); denial is evented like a built-in links denial
+        builtin_links = F.coalesce(
+            builtin_links,
+            F.when(~F.coalesce(user_links_predicate, F.lit(False)),
+                   F.lit(USER_DENY_REASON)))
     out = out.withColumn(
         "links_reason",
-        F.when(F.col("size_dropped"), F.lit(None).cast("string")).otherwise(
-            reason_should_crawl_page_links(
-                cfg,
-                text=F.col("text"),
-                is_internal=F.col("is_internal"),
-                depth=F.col("depth"),
-            )
-        ),
+        F.when(F.col("size_dropped"),
+               F.lit(None).cast("string")).otherwise(builtin_links),
     )
     return out
 
@@ -498,12 +523,17 @@ def redirect_candidates(fetched: DataFrame, cfg: CrawlConfig) -> DataFrame:
 
 
 def retry_candidates(fetched: DataFrame, cfg: CrawlConfig,
-                     wave_ts_ms: int) -> DataFrame:
+                     wave_ts_ms: int,
+                     user_recrawl_predicate=None) -> DataFrame:
     """F5: failed fetches re-enter the queue with IsRetry=true
     (``ProcessPage`` :729-733, ``AddPageToContext`` pre-increments the
     count at dequeue so the row carries the processing-time value).
     ``Retry-After`` is integer seconds or an HTTP date relative to the
-    request time (``WebCrawler.cs:969-989``)."""
+    request time (``WebCrawler.cs:969-989``).
+
+    ``user_recrawl_predicate`` is the ShouldRecrawlPageDecisionMaker
+    delegate (``WebCrawler.cs:955-959``): consulted only when the
+    built-in recrawl decision allowed; False silently drops the retry."""
     failed = fetched.filter(~F.col("size_dropped")).withColumn(
         "recrawl_reason",
         reason_should_recrawl_page(
@@ -512,6 +542,9 @@ def retry_candidates(fetched: DataFrame, cfg: CrawlConfig,
             retry_count=F.col("retry_count"),
         ),
     ).filter(F.col("recrawl_reason").isNull())
+    if user_recrawl_predicate is not None:
+        failed = failed.filter(
+            F.coalesce(user_recrawl_predicate, F.lit(False)))
 
     retry_after_s = F.coalesce(
         F.expr("try_cast(retry_after AS BIGINT)"),
@@ -563,6 +596,7 @@ def schedule_wave(
     wave_ts_ms: int,
     num_partitions: int = 32,
     user_link_predicate=None,
+    user_page_predicate=None,
     seen_bloom=None,   # store.BloomShardProbe handle (or None: no sidecar)
     seq_range_hint: tuple[str, int, int] | None = None,
     direct_add: bool = False,  # candidates enter via Scheduler.Add only
@@ -738,10 +772,24 @@ def schedule_wave(
         cand = cand.withColumn("domain_cap_hit", F.lit(False))
 
     # -- budget (A1/A3): eligible candidates consume slots in serial order
-    pre_eligible = (decidable & F.col("robots_ok") & ~silent_external
-                    & F.col("static_reason").isNull()
-                    & ~F.col("domain_cap_hit") & F.lit(not latched))
-    cand = cand.withColumn("pre_eligible", pre_eligible)
+    pre_builtin = (decidable & F.col("robots_ok") & ~silent_external
+                   & F.col("static_reason").isNull()
+                   & ~F.col("domain_cap_hit") & F.lit(not latched))
+    if user_page_predicate is not None:
+        # F1 user delegate (ShouldCrawlPageDecisionMaker,
+        # WebCrawler.cs:917-918): consulted only after the BUILT-IN chain
+        # allowed; a user-denied page consumes no budget slot but still
+        # probes the latch (the serial loop probes MaxPages before the
+        # user runs — _delta=0 rows below), and its denial is EVENTED
+        # (PageCrawlDisallowed, :924-925) unless the budget already
+        # silently denied it.
+        user_ok = F.coalesce(user_page_predicate, F.lit(False))
+        pre_eligible = pre_builtin & user_ok
+    else:
+        user_ok = None
+        pre_eligible = pre_builtin
+    cand = cand.withColumn("pre_builtin", pre_builtin) \
+               .withColumn("pre_eligible", pre_eligible)
 
     if retries is not None:
         retries = retries.withColumn("url_hash", F.xxhash64("url"))
@@ -757,8 +805,13 @@ def schedule_wave(
         # queue shrinks).  Cumulative-delta window over the serial order.
         # Global window: bounded — budget is only active on bounded crawls;
         # the two-phase assign_seq pattern applies if this ever hots up.
-        consumers = cand.filter("pre_eligible").select("url_hash", *ORD) \
-            .withColumn("_delta", F.lit(1))
+        # user-denied-but-builtin-allowed rows ride along with _delta=0:
+        # they consume nothing but carry their serial-order probe value
+        # (budget_used + _rn + 1), exactly the counter the serial loop
+        # reads before the user delegate runs
+        consumers = cand.filter("pre_builtin").select(
+            "url_hash", *ORD,
+            F.col("pre_eligible").cast("int").alias("_delta"))
         if retries is not None:
             consumers = consumers.unionByName(
                 retries.select("url_hash", *ORD).withColumn("_delta", F.lit(1)))
@@ -773,11 +826,13 @@ def schedule_wave(
             .rowsBetween(Window.unboundedPreceding, 0)
         ranked = consumers.withColumn("_rn", F.sum("_delta").over(w_budget))
         cand = cand.join(
-            ranked.filter(F.col("url_hash").isNotNull() & (F.col("_delta") == 1))
-            .select("url_hash", *ORD, "_rn"),
+            ranked.filter(F.col("url_hash").isNotNull() & (F.col("_delta") >= 0))
+            .select("url_hash", *ORD, "_rn",
+                    F.col("_delta").alias("_bdelta")),
             ["url_hash", *ORD], "left")
-        budget_denied = (F.col("pre_eligible")
+        budget_denied = (F.col("pre_builtin")
                          & (F.lit(budget_used) + F.col("_rn")
+                            + (F.lit(1) - F.col("_bdelta"))
                             > cfg.max_pages_to_crawl))
     else:
         cand = cand.withColumn("_rn", F.lit(None).cast("long"))
@@ -841,12 +896,22 @@ def schedule_wave(
         marked = (((F.col("kind") == 1) & F.col("iterated"))
                   | ((F.col("kind") == 0) & F.col("admitted")))
     cand = cand.withColumn("_out_seen_add", marked & ~F.col("_in_seen"))
+    # user ShouldCrawlPage denial is evented (WebCrawler.cs:924-925) —
+    # but only when every built-in allowed AND the budget did not already
+    # deny silently (the serial loop never reaches the user delegate then)
+    user_denied_evt = (F.lit(False) if user_ok is None else
+                       (F.col("pre_builtin") & ~F.col("budget_denied")
+                        & ~user_ok))
+    cand = cand.withColumn("_user_denied_evt", user_denied_evt)
     cand = cand.withColumn(
         "_out_disallowed",
-        F.col("iterated") & ~F.col("dup_skipped")
+        # `decidable` (not just ~dup_skipped): a link vetoed by the F9
+        # user delegate never reaches ShouldSchedulePageLink in the
+        # reference (:1117-1118), so it fires no robots/decision event
+        F.col("iterated") & decidable
         & ~silent_external & F.lit(not latched)
         & (~F.col("robots_ok") | F.col("static_reason").isNotNull()
-           | F.col("domain_cap_hit")))
+           | F.col("domain_cap_hit") | F.col("_user_denied_evt")))
 
     # several downstream consumers (admitted / seen_add / disallowed /
     # latch probe) — materialize once
@@ -891,11 +956,12 @@ def schedule_wave(
                            "set IsRespectRobotsDotText=false in config file "
                            "if you would like to ignore robots.txt files.")),
         ).when(F.col("static_reason").isNotNull(), F.col("static_reason"))
-        .otherwise(F.concat(
+        .when(F.col("domain_cap_hit"), F.concat(
             F.lit(f"MaxPagesToCrawlPerDomain limit of "
                   f"[{cfg.max_pages_to_crawl_per_domain}] has been reached "
                   f"for domain ["),
-            F.col("domain"), F.lit("]"))).alias("reason"),
+            F.col("domain"), F.lit("]")))
+        .otherwise(F.lit(USER_DENY_REASON)).alias("reason"),
         F.lit(wave_ts_ms).alias("wave_ts_ms"),
     )
 

@@ -129,12 +129,39 @@ def test_embedding_neardup_bucketed_pairs(spark, emb):
                 assert (i, j) in got
 
 
-def test_ivf_topk_subset_of_cluster(spark, emb):
+def test_ivf_topk_subset_of_probed_clusters(spark, emb):
+    """Every IVF neighbor must live in one of the query's nprobe nearest
+    clusters (the index prunes candidates; it never scores outside its
+    probes)."""
+    cents = S.kmeans_centroids(emb, 4, iters=2)
     clusters = {r["vec_id"]: r["cluster"] for r in
-                S.assign_clusters(emb, 4).collect()}
-    out = S.ivf_topk(emb, [0, 1], k=3, n_centroids=4).collect()
+                S._nearest_centroids(emb, cents, nprobe=1).collect()}
+    probes = {}
+    for r in S._nearest_centroids(
+            emb.filter(F.col("vec_id").isin([0, 1])), cents,
+            nprobe=2).collect():
+        probes.setdefault(r["vec_id"], set()).add(r["cluster"])
+    out = S.ivf_topk(emb, [0, 1], k=3, n_centroids=4, iters=2,
+                     nprobe=2).collect()
     for r in out:
-        assert clusters[r["neighbor_id"]] == clusters[r["query_id"]]
+        assert clusters[r["neighbor_id"]] in probes[r["query_id"]]
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    """VERDICT r1 #7: Lloyd refinement + nprobe>1 must recover >=0.9
+    recall@5 against the brute-force baseline on the fixture (the old
+    first-C-seeds + nprobe=1 index was correct-per-contract but weak)."""
+    queries = list(range(8))
+    truth = {}
+    for r in S.cosine_topk(emb, queries, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in S.ivf_topk(emb, queries, k=5, n_centroids=8, iters=2,
+                        nprobe=2).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in queries)
+    recall = hits / sum(len(truth[q]) for q in queries)
+    assert recall >= 0.9, f"recall@5 = {recall:.3f}"
 
 
 def test_textstats_columns(spark, docs):

@@ -160,6 +160,16 @@ def test_duplicate_in_wave_enqueued_once(spark):
 # DomainRateLimiterTest.cs / RateLimiterTest.cs — delay resolution + pacing
 # ---------------------------------------------------------------------------
 
+def _scale_mode_delays(c):
+    """Effective per-domain robots delays in per_domain (scale) mode: the
+    Crawl-delay slice of the distributed rules table (crawler._prepare),
+    which replaced the driver-side _robots_delay_ms dict there."""
+    if c._robots_delays_df is not None:
+        return {r["domain"]: r["_robots_delay_ms"]
+                for r in c._robots_delays_df.collect()}
+    return c._effective_delays()
+
+
 def _crawler_with_robots(spark, cfg, robots_rows):
     robots = spark.createDataFrame(robots_rows,
                                    "domain string, robots_txt string")
@@ -185,7 +195,7 @@ def test_robots_delay_below_config_uses_config(spark):
                       min_crawl_delay_per_domain_milli_seconds=5000)
     c = _crawler_with_robots(
         spark, cfg, [("a.com", "User-agent: *\nCrawl-delay: 2\n")])
-    assert c._effective_delays() == {}  # falls back to the 5000ms config
+    assert _scale_mode_delays(c) == {}  # falls back to the 5000ms config
 
 
 def test_robots_delay_above_config_overrides(spark):
@@ -197,7 +207,7 @@ def test_robots_delay_above_config_overrides(spark):
     c = _crawler_with_robots(
         spark, cfg, [("a.com", "User-agent: *\nCrawl-delay: 7\n"),
                      ("b.com", "User-agent: *\n")])
-    assert c._effective_delays() == {"a.com": 7000}
+    assert _scale_mode_delays(c) == {"a.com": 7000}
 
 
 def test_robots_delay_capped_by_config_max(spark):
@@ -208,7 +218,7 @@ def test_robots_delay_capped_by_config_max(spark):
                       max_robots_dot_text_crawl_delay_in_seconds=3)
     c = _crawler_with_robots(
         spark, cfg, [("a.com", "User-agent: *\nCrawl-delay: 9999\n")])
-    assert c._effective_delays() == {"a.com": 3000}
+    assert _scale_mode_delays(c) == {"a.com": 3000}
 
 
 def test_rate_limit_same_domain_waits_between_requests(spark):

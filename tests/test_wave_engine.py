@@ -262,6 +262,104 @@ def test_per_domain_robots_scale_mode(spark, web):
     assert not any("/private/" in u for u in urls)
 
 
+def _hooked_parity(spark, web, cfg, serial_hooks, spark_hooks,
+                   check_disallowed=False):
+    """Run serial + wave with the same user delegate and compare."""
+    from pyspark.sql import functions as F  # noqa: F401 (hooks build Columns)
+
+    serial = SerialCrawler(web["fx"], cfg)
+    for name, fn in serial_hooks.items():
+        setattr(serial, name, fn)
+    report = serial.crawl(SEED)
+
+    wdir = tempfile.mkdtemp(prefix="abot-hook-")
+    crawler = WaveCrawler(spark, cfg, wdir, web["pages"], web["robots"])
+    for name, col in spark_hooks.items():
+        setattr(crawler, name, col)
+    state = crawler.crawl([SEED], max_waves=40)
+    fetched = crawler.store.read_all("fetched", state.wave)
+    rows = fetched.orderBy("seq").collect() if fetched is not None else []
+    assert [r["url"] for r in rows] == report.crawl_order
+    if check_disallowed:
+        dis = crawler.store.read_all("disallowed", state.wave + 1)
+        got = {(r["url"], r["reason"]) for r in dis.collect()} \
+            if dis is not None else set()
+        assert got == set(report.disallowed)
+    return report, rows
+
+
+def test_user_should_crawl_page_delegate_parity(spark, web):
+    """ShouldCrawlPageDecisionMaker (WebCrawler.cs:917-925): user denial
+    skips the page, consumes no budget, and fires PageCrawlDisallowed —
+    order AND disallowed-audit parity vs the serial oracle."""
+    from pyspark.sql import functions as F
+
+    report, rows = _hooked_parity(
+        spark, web, BASE_CFG,
+        {"user_should_crawl_page": lambda v: "/s/1" not in v.url},
+        {"user_page_predicate": ~F.col("url").contains("/s/1")},
+        check_disallowed=True)
+    assert rows, "crawl must not be empty"
+    assert not any("/s1" in r["url"] for r in rows)
+    assert any(reason == "User decision" for _, reason in report.disallowed)
+
+
+def test_user_should_schedule_link_delegate_parity(spark, web):
+    """ShouldScheduleLinkDecisionMaker (F9, :1117-1118): silent veto
+    before the decision pipeline; no disallowed events for vetoed links."""
+    from pyspark.sql import functions as F
+
+    report, rows = _hooked_parity(
+        spark, web, BASE_CFG,
+        {"user_should_schedule_link": lambda p: "/s/0" not in p.url},
+        {"user_link_predicate": ~F.col("url").contains("/s/0")},
+        check_disallowed=True)
+    assert rows and not any("/s0" in r["url"] for r in rows)
+
+
+def test_user_should_download_content_delegate_parity(spark, web):
+    """ShouldDownloadPageContentDecisionMaker (:1175-1180): denial skips
+    the content download, so the page has no text and no links — the
+    crawl shrinks identically in both engines."""
+    from pyspark.sql import functions as F
+
+    base = SerialCrawler(web["fx"], BASE_CFG).crawl(SEED)
+    report, rows = _hooked_parity(
+        spark, web, BASE_CFG,
+        {"user_should_download_content": lambda v: v.crawl_depth < 1},
+        {"user_download_predicate": F.col("depth") < 1})
+    assert len(rows) < len(base.crawl_order)   # depth>=1 pages spawn nothing
+
+
+def test_user_should_crawl_page_links_delegate_parity(spark, web):
+    """ShouldCrawlPageLinksDecisionMaker (:867-880): denial stops link
+    crawling for the page and is evented via links_reason."""
+    from pyspark.sql import functions as F
+
+    report, rows = _hooked_parity(
+        spark, web, BASE_CFG,
+        {"user_should_crawl_page_links": lambda v: "/s/0/" not in v.url},
+        {"user_links_predicate": ~F.col("url").contains("/s/0/")})
+    assert any(("User decision" == reason)
+               for _, reason in report.links_disallowed)
+
+
+def test_user_should_recrawl_page_delegate_parity(spark, web):
+    """ShouldRecrawlPageDecisionMaker (:955-959): denial silently drops
+    the retry the built-in decision would have scheduled."""
+    from pyspark.sql import functions as F
+
+    cfg = BASE_CFG.with_(max_retry_count=2)
+    base = SerialCrawler(web["fx"], cfg).crawl(SEED)
+    report, rows = _hooked_parity(
+        spark, web, cfg,
+        {"user_should_recrawl_page": lambda v: False},
+        {"user_recrawl_predicate": F.lit(False)})
+    assert not any(r["is_retry"] for r in rows)
+    assert any(e.is_retry for e in base.crawled), \
+        "fixture must contain retryable failures for this test to bite"
+
+
 def test_per_domain_robots_crawl_delay_pacing(spark, web):
     """Scale mode applies EVERY domain's robots Crawl-delay through the
     politeness quota via the distributed rules table (no driver map):
