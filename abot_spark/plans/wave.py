@@ -47,17 +47,21 @@ Scale notes (10^10-URL frontier, 1000 executors):
   deployment replaces the corpus join with a ``mapInPandas`` async-fetch
   stage over ``repartition(concat(domain, '#', pmod(xxhash64(url), S)))``.
 
-Deviations from serial semantics (documented, test-excluded corners):
+Deviations from serial semantics (documented corners).  The in-wave
+dedup is MARKING-AWARE (a later occurrence is suppressed only when an
+earlier one actually marks the URL known in the serial loop, with a
+link-cap refinement pass when ``max_links_per_page`` is active — see
+``schedule_wave``), which closed the round-1 denied-redirect-child and
+recrawl-cap-breaker corners.  What remains:
 - when ``max_links_per_page`` and ``max_pages_to_crawl`` are both tight in
   the same wave the budget recount after the per-page cut is a second pass
   (exact when only one of the two is active);
-- a same-wave duplicate whose first occurrence was a *denied* redirect
-  child suppresses the later occurrence (serial would re-decide it);
-- with ``AllowUriRecrawling`` on, a same-wave duplicate whose first
-  occurrence was the MaxLinksPerPage cap-breaker (scheduled but never
-  AddKnownUri'd) is still suppressed by the in-wave dedup window (serial
-  would schedule it a second time; across waves the parity is exact —
-  the breaker is correctly left out of the seen table).
+- a redirect child denied only by the BUDGET or DOMAIN-CAP windows (not
+  by robots/static/external gates) still counts as marking for same-wave
+  dedup (serial would re-decide a later occurrence);
+- a >=3-deep same-wave collision where the refinement pass's change to
+  the second occurrence would flip the third (the pass runs once, not to
+  fixpoint).
 """
 
 from __future__ import annotations
@@ -688,19 +692,8 @@ def schedule_wave(
     # known, so this shrinks the wave's cached/windowed volume from
     # |all links| to |novel links|.
     cand = cand.filter(~F.col("is_known")).drop("is_known")
-    # in-wave first-occurrence dedup over the novel sliver
-    w_dup = Window.partitionBy("url_hash").orderBy(*ORD)
-    cand = cand.withColumn("_occ", F.row_number().over(w_dup)) \
-        .withColumn("dup_skipped", F.col("_occ") > 1).drop("_occ")
-    # a dup link is still iterated (stays seen-marked) but never decided
-    # and never evented
-    decidable = ~F.col("dup_skipped")
-    if user_link_predicate is not None:
-        # F9 ShouldScheduleLinkDecisionMaker (WebCrawler.cs:1117-1118):
-        # user veto runs before the child is even built; denial is silent
-        # and the link is still marked known.
-        decidable = decidable & user_link_predicate
 
+    # row-local gate columns FIRST (they feed the marking-aware dedup):
     # -- F6 robots gate (PoliteWebCrawler.ShouldCrawlPage, before base F1)
     if robots_rules is not None:
         # join strategy is the CALLER's call: parity mode passes a one-
@@ -735,61 +728,39 @@ def schedule_wave(
     ).otherwise(F.lit(None).cast("string"))
     cand = cand.withColumn("static_reason", static_reason)
 
-    # -- per-domain cap (A2 + F1): union-window reconstruction of the
-    #    serial CrawlCountByDomain reading (see module docstring)
-    if cfg.max_pages_per_domain_active:
-        ev = frontier_events.filter(~F.col("is_retry")).select(
-            "domain",
-            F.col("seq").alias("parent_seq"),
-            F.lit(-1).alias("kind"), F.lit(-1).alias("pos"),
-            F.lit(1).alias("_delta"),
-        )
-        probes = cand.select("url_hash", "domain", *ORD) \
-                     .withColumn("_delta", F.lit(0))
-        unioned = probes.unionByName(
-            ev.withColumn("url_hash", F.lit(None).cast("long")))
-        w_dom = Window.partitionBy("domain").orderBy(*ORD) \
-            .rowsBetween(Window.unboundedPreceding, 0)
-        unioned = unioned.withColumn("_dom_cnt", F.sum("_delta").over(w_dom))
-        probe_counts = unioned.filter(F.col("_delta") == 0) \
-            .select("url_hash", *ORD, "_dom_cnt")
-        cand = cand.join(probe_counts, ["url_hash", *ORD], "left")
-        if prior_counts is not None:
-            # prior waves' CrawlCountByDomain snapshot: tiny (one row per
-            # domain) -> broadcast join
-            cand = cand.join(
-                F.broadcast(prior_counts.withColumnRenamed("cnt", "_prior")),
-                "domain", "left",
-            ).withColumn(
-                "_dom_cnt", F.col("_dom_cnt") + F.coalesce("_prior", F.lit(0))
-            ).drop("_prior")
-        cand = cand.withColumn(
-            "domain_cap_hit",
-            (F.col("_dom_cnt") > 0)
-            & (F.col("_dom_cnt") >= cfg.max_pages_to_crawl_per_domain),
-        ).drop("_dom_cnt")
+    # -- in-wave dedup (T5), MARKING-AWARE: a later same-wave occurrence
+    # is suppressed iff an EARLIER occurrence actually marks the URL
+    # known in the serial loop — not merely iff any earlier occurrence
+    # exists.  The serial marking paths (AddKnownUri for iterated links,
+    # :1153; Scheduler.Add's AddIfNew for scheduled rows, bypassed under
+    # AllowUriRecrawling): a *denied* redirect child marks nothing, so a
+    # later link to the same URL is decided fresh; under recrawling a
+    # redirect child or seed never marks.  First pass approximates a
+    # kind-0 row's "would be scheduled" by its row-local gates (robots /
+    # static / external / latch — budget and domain-cap denials of a
+    # redirect child remain a documented residual); the link-cap
+    # refinement (iterated / cap-breaker) runs as the second pass below
+    # when the cap is active.
+    admittable0 = (F.col("robots_ok") & F.col("static_reason").isNull()
+                   & ~silent_external & F.lit(not latched))
+    if cfg.is_uri_recrawling_enabled:
+        marks_pre = F.when(F.col("kind") == 1,
+                           F.lit(not direct_add)).otherwise(F.lit(False))
+    elif direct_add:
+        marks_pre = admittable0   # seeds mark only via AddIfNew when added
     else:
-        cand = cand.withColumn("domain_cap_hit", F.lit(False))
+        marks_pre = F.when(F.col("kind") == 1,
+                           F.lit(True)).otherwise(admittable0)
+    w_prior = Window.partitionBy("url_hash").orderBy(*ORD) \
+        .rowsBetween(Window.unboundedPreceding, -1)
 
-    # -- budget (A1/A3): eligible candidates consume slots in serial order
-    pre_builtin = (decidable & F.col("robots_ok") & ~silent_external
-                   & F.col("static_reason").isNull()
-                   & ~F.col("domain_cap_hit") & F.lit(not latched))
-    if user_page_predicate is not None:
-        # F1 user delegate (ShouldCrawlPageDecisionMaker,
-        # WebCrawler.cs:917-918): consulted only after the BUILT-IN chain
-        # allowed; a user-denied page consumes no budget slot but still
-        # probes the latch (the serial loop probes MaxPages before the
-        # user runs — _delta=0 rows below), and its denial is EVENTED
-        # (PageCrawlDisallowed, :924-925) unless the budget already
-        # silently denied it.
-        user_ok = F.coalesce(user_page_predicate, F.lit(False))
-        pre_eligible = pre_builtin & user_ok
-    else:
-        user_ok = None
-        pre_eligible = pre_builtin
-    cand = cand.withColumn("pre_builtin", pre_builtin) \
-               .withColumn("pre_eligible", pre_eligible)
+    def with_dup(df, marks_col):
+        return df.withColumn(
+            "dup_skipped",
+            F.coalesce(F.max(marks_col.cast("int")).over(w_prior),
+                       F.lit(0)) == 1)
+
+    cand = with_dup(cand, marks_pre)
 
     if retries is not None:
         retries = retries.withColumn("url_hash", F.xxhash64("url"))
@@ -797,121 +768,209 @@ def schedule_wave(
             retries = retries.withColumn(
                 "page_bag", F.lit(None).cast(PAGE_BAG_TYPE))
 
-    budget_denied = F.lit(False)
-    if cfg.max_pages_active:
-        # serial invariant: CrawledCount + Scheduler.Count changes by +1
-        # when a page is admitted and by -1 when a *retry* is dequeued
-        # (AddPageToContext bumps RetryCount only, :1084-1089, while the
-        # queue shrinks).  Cumulative-delta window over the serial order.
-        # Global window: bounded — budget is only active on bounded crawls;
-        # the two-phase assign_seq pattern applies if this ever hots up.
-        # user-denied-but-builtin-allowed rows ride along with _delta=0:
-        # they consume nothing but carry their serial-order probe value
-        # (budget_used + _rn + 1), exactly the counter the serial loop
-        # reads before the user delegate runs
-        consumers = cand.filter("pre_builtin").select(
-            "url_hash", *ORD,
-            F.col("pre_eligible").cast("int").alias("_delta"))
-        if retries is not None:
-            consumers = consumers.unionByName(
-                retries.select("url_hash", *ORD).withColumn("_delta", F.lit(1)))
-        released = frontier_events.filter("is_retry").select(
-            F.lit(None).cast("long").alias("url_hash"),
-            F.col("seq").alias("parent_seq"),
-            F.lit(-1).alias("kind"), F.lit(-1).alias("pos"),
-            F.lit(-1).alias("_delta"),
-        )
-        consumers = consumers.unionByName(released)
-        w_budget = Window.orderBy(*ORD, "url_hash") \
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ranked = consumers.withColumn("_rn", F.sum("_delta").over(w_budget))
-        cand = cand.join(
-            ranked.filter(F.col("url_hash").isNotNull() & (F.col("_delta") >= 0))
-            .select("url_hash", *ORD, "_rn",
-                    F.col("_delta").alias("_bdelta")),
-            ["url_hash", *ORD], "left")
-        budget_denied = (F.col("pre_builtin")
-                         & (F.lit(budget_used) + F.col("_rn")
-                            + (F.lit(1) - F.col("_bdelta"))
-                            > cfg.max_pages_to_crawl))
-    else:
-        cand = cand.withColumn("_rn", F.lit(None).cast("long"))
-    cand = cand.withColumn("budget_denied", budget_denied)
-    cand = cand.withColumn(
-        "admitted", F.col("pre_eligible") & ~F.col("budget_denied"))
+    def _decision_chain(cand):
+        """The decision pipeline downstream of the dedup column: domain
+        cap -> budget window -> admission -> per-page link cap -> seen
+        marks + audit flags.  Factored so the link-cap refinement pass
+        can re-run it with a corrected ``dup_skipped``."""
+        # a dup link is still iterated (stays seen-marked) but never
+        # decided and never evented
+        decidable = ~F.col("dup_skipped")
+        if user_link_predicate is not None:
+            # F9 ShouldScheduleLinkDecisionMaker (WebCrawler.cs:1117-1118):
+            # user veto runs before the child is even built; denial is
+            # silent and the link is still marked known.
+            decidable = decidable & user_link_predicate
 
-    # -- per-page link cap (T4): breaks the iteration; later links of the
-    #    page are neither decided nor marked known (:1162-1166 + loop break)
-    if cfg.max_links_per_page_active:
-        w_page = Window.partitionBy("parent_seq").orderBy("pos")
-        sched_rank = F.sum(
-            F.when(F.col("admitted") & (F.col("kind") == 1), 1).otherwise(0)
-        ).over(w_page.rowsBetween(Window.unboundedPreceding, 0))
-        cand = cand.withColumn("_srank", sched_rank)
-        break_pos = cand.filter(
-            (F.col("kind") == 1) & F.col("admitted")
-            & (F.col("_srank") == cfg.max_links_per_page)
-        ).groupBy("parent_seq").agg(F.min("pos").alias("_break_pos"))
-        cand = cand.join(F.broadcast(break_pos), "parent_seq", "left") \
-            .withColumn(
-                "iterated",
-                (F.col("kind") != 1) | F.col("_break_pos").isNull()
-                | (F.col("pos") <= F.col("_break_pos"))) \
-            .withColumn(
-                # the cap-TRIGGERING link: scheduled, but the serial loop's
-                # break skips its AddKnownUri (WebCrawler.cs:1138-1143 —
-                # the break sits above the :1153 AddKnownUri).  With
-                # recrawling OFF it still lands in seen via Scheduler.Add's
-                # AddIfNew; with recrawling ON nothing marks it (see
-                # _out_seen_add below).
-                "_cap_breaker",
-                (F.col("kind") == 1) & F.col("_break_pos").isNotNull()
-                & (F.col("pos") == F.col("_break_pos"))) \
-            .drop("_srank", "_break_pos")
+        # -- per-domain cap (A2 + F1): union-window reconstruction of the
+        #    serial CrawlCountByDomain reading (see module docstring)
+        if cfg.max_pages_per_domain_active:
+            ev = frontier_events.filter(~F.col("is_retry")).select(
+                "domain",
+                F.col("seq").alias("parent_seq"),
+                F.lit(-1).alias("kind"), F.lit(-1).alias("pos"),
+                F.lit(1).alias("_delta"),
+            )
+            probes = cand.select("url_hash", "domain", *ORD) \
+                         .withColumn("_delta", F.lit(0))
+            unioned = probes.unionByName(
+                ev.withColumn("url_hash", F.lit(None).cast("long")))
+            w_dom = Window.partitionBy("domain").orderBy(*ORD) \
+                .rowsBetween(Window.unboundedPreceding, 0)
+            unioned = unioned.withColumn("_dom_cnt", F.sum("_delta").over(w_dom))
+            probe_counts = unioned.filter(F.col("_delta") == 0) \
+                .select("url_hash", *ORD, "_dom_cnt")
+            cand = cand.join(probe_counts, ["url_hash", *ORD], "left")
+            if prior_counts is not None:
+                # prior waves' CrawlCountByDomain snapshot: tiny (one row per
+                # domain) -> broadcast join
+                cand = cand.join(
+                    F.broadcast(prior_counts.withColumnRenamed("cnt", "_prior")),
+                    "domain", "left",
+                ).withColumn(
+                    "_dom_cnt", F.col("_dom_cnt") + F.coalesce("_prior", F.lit(0))
+                ).drop("_prior")
+            cand = cand.withColumn(
+                "domain_cap_hit",
+                (F.col("_dom_cnt") > 0)
+                & (F.col("_dom_cnt") >= cfg.max_pages_to_crawl_per_domain),
+            ).drop("_dom_cnt")
+        else:
+            cand = cand.withColumn("domain_cap_hit", F.lit(False))
+
+        # -- budget (A1/A3): eligible candidates consume slots in serial order
+        pre_builtin = (decidable & F.col("robots_ok") & ~silent_external
+                       & F.col("static_reason").isNull()
+                       & ~F.col("domain_cap_hit") & F.lit(not latched))
+        if user_page_predicate is not None:
+            # F1 user delegate (ShouldCrawlPageDecisionMaker,
+            # WebCrawler.cs:917-918): consulted only after the BUILT-IN chain
+            # allowed; a user-denied page consumes no budget slot but still
+            # probes the latch (the serial loop probes MaxPages before the
+            # user runs — _delta=0 rows below), and its denial is EVENTED
+            # (PageCrawlDisallowed, :924-925) unless the budget already
+            # silently denied it.
+            user_ok = F.coalesce(user_page_predicate, F.lit(False))
+            pre_eligible = pre_builtin & user_ok
+        else:
+            user_ok = None
+            pre_eligible = pre_builtin
+        cand = cand.withColumn("pre_builtin", pre_builtin) \
+                   .withColumn("pre_eligible", pre_eligible)
+
+        budget_denied = F.lit(False)
+        if cfg.max_pages_active:
+            # serial invariant: CrawledCount + Scheduler.Count changes by +1
+            # when a page is admitted and by -1 when a *retry* is dequeued
+            # (AddPageToContext bumps RetryCount only, :1084-1089, while the
+            # queue shrinks).  Cumulative-delta window over the serial order.
+            # Global window: bounded — budget is only active on bounded crawls;
+            # the two-phase assign_seq pattern applies if this ever hots up.
+            # user-denied-but-builtin-allowed rows ride along with _delta=0:
+            # they consume nothing but carry their serial-order probe value
+            # (budget_used + _rn + 1), exactly the counter the serial loop
+            # reads before the user delegate runs
+            consumers = cand.filter("pre_builtin").select(
+                "url_hash", *ORD,
+                F.col("pre_eligible").cast("int").alias("_delta"))
+            if retries is not None:
+                consumers = consumers.unionByName(
+                    retries.select("url_hash", *ORD).withColumn("_delta", F.lit(1)))
+            released = frontier_events.filter("is_retry").select(
+                F.lit(None).cast("long").alias("url_hash"),
+                F.col("seq").alias("parent_seq"),
+                F.lit(-1).alias("kind"), F.lit(-1).alias("pos"),
+                F.lit(-1).alias("_delta"),
+            )
+            consumers = consumers.unionByName(released)
+            w_budget = Window.orderBy(*ORD, "url_hash") \
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ranked = consumers.withColumn("_rn", F.sum("_delta").over(w_budget))
+            cand = cand.join(
+                ranked.filter(F.col("url_hash").isNotNull() & (F.col("_delta") >= 0))
+                .select("url_hash", *ORD, "_rn",
+                        F.col("_delta").alias("_bdelta")),
+                ["url_hash", *ORD], "left")
+            budget_denied = (F.col("pre_builtin")
+                             & (F.lit(budget_used) + F.col("_rn")
+                                + (F.lit(1) - F.col("_bdelta"))
+                                > cfg.max_pages_to_crawl))
+        else:
+            cand = cand.withColumn("_rn", F.lit(None).cast("long"))
+        cand = cand.withColumn("budget_denied", budget_denied)
         cand = cand.withColumn(
-            "admitted", F.col("admitted") & F.col("iterated"))
-    else:
-        cand = cand.withColumn("iterated", F.lit(True)) \
-            .withColumn("_cap_breaker", F.lit(False))
+            "admitted", F.col("pre_eligible") & ~F.col("budget_denied"))
 
-    # output-membership flags, computed INTO the cache so one aggregate
-    # over the cached rows can tell the caller how many rows each output
-    # carries (empty outputs then skip their write/scan jobs entirely —
-    # sparse waves, i.e. most waves of a converging crawl, stop paying
-    # full-cache scans for zero-row appends)
-    # Seen membership mirrors the two marking paths of the reference:
-    # AddKnownUri for every iterated link (:1153), and AddIfNew inside
-    # Scheduler.Add (Scheduler.cs:87-97) for anything scheduled.  With
-    # AllowUriRecrawling the Add path never touches the seen set
-    # (Scheduler.cs:78-86), so only AddKnownUri marks — which the
-    # MaxLinksPerPage break skips for the cap-triggering link, and which
-    # redirect children (direct Add, no link iteration) never get.
-    # Direct-Add candidates (seeds, sitemap items — StartCrawlRootPage /
-    # GoogleWebCrawler bulk adds) have no link iteration, so their only
-    # marking path is Scheduler.Add's AddIfNew, gone under recrawling.
-    if cfg.is_uri_recrawling_enabled:
-        marked = ((F.col("kind") == 1) & F.col("iterated")
-                  & ~F.col("_cap_breaker") & F.lit(not direct_add))
-    else:
-        marked = (((F.col("kind") == 1) & F.col("iterated"))
-                  | ((F.col("kind") == 0) & F.col("admitted")))
-    cand = cand.withColumn("_out_seen_add", marked & ~F.col("_in_seen"))
-    # user ShouldCrawlPage denial is evented (WebCrawler.cs:924-925) —
-    # but only when every built-in allowed AND the budget did not already
-    # deny silently (the serial loop never reaches the user delegate then)
-    user_denied_evt = (F.lit(False) if user_ok is None else
-                       (F.col("pre_builtin") & ~F.col("budget_denied")
-                        & ~user_ok))
-    cand = cand.withColumn("_user_denied_evt", user_denied_evt)
-    cand = cand.withColumn(
-        "_out_disallowed",
-        # `decidable` (not just ~dup_skipped): a link vetoed by the F9
-        # user delegate never reaches ShouldSchedulePageLink in the
-        # reference (:1117-1118), so it fires no robots/decision event
-        F.col("iterated") & decidable
-        & ~silent_external & F.lit(not latched)
-        & (~F.col("robots_ok") | F.col("static_reason").isNotNull()
-           | F.col("domain_cap_hit") | F.col("_user_denied_evt")))
+        # -- per-page link cap (T4): breaks the iteration; later links of the
+        #    page are neither decided nor marked known (:1162-1166 + loop break)
+        if cfg.max_links_per_page_active:
+            w_page = Window.partitionBy("parent_seq").orderBy("pos")
+            sched_rank = F.sum(
+                F.when(F.col("admitted") & (F.col("kind") == 1), 1).otherwise(0)
+            ).over(w_page.rowsBetween(Window.unboundedPreceding, 0))
+            cand = cand.withColumn("_srank", sched_rank)
+            break_pos = cand.filter(
+                (F.col("kind") == 1) & F.col("admitted")
+                & (F.col("_srank") == cfg.max_links_per_page)
+            ).groupBy("parent_seq").agg(F.min("pos").alias("_break_pos"))
+            cand = cand.join(F.broadcast(break_pos), "parent_seq", "left") \
+                .withColumn(
+                    "iterated",
+                    (F.col("kind") != 1) | F.col("_break_pos").isNull()
+                    | (F.col("pos") <= F.col("_break_pos"))) \
+                .withColumn(
+                    # the cap-TRIGGERING link: scheduled, but the serial loop's
+                    # break skips its AddKnownUri (WebCrawler.cs:1138-1143 —
+                    # the break sits above the :1153 AddKnownUri).  With
+                    # recrawling OFF it still lands in seen via Scheduler.Add's
+                    # AddIfNew; with recrawling ON nothing marks it (see
+                    # _out_seen_add below).
+                    "_cap_breaker",
+                    (F.col("kind") == 1) & F.col("_break_pos").isNotNull()
+                    & (F.col("pos") == F.col("_break_pos"))) \
+                .drop("_srank", "_break_pos")
+            cand = cand.withColumn(
+                "admitted", F.col("admitted") & F.col("iterated"))
+        else:
+            cand = cand.withColumn("iterated", F.lit(True)) \
+                .withColumn("_cap_breaker", F.lit(False))
+
+        # output-membership flags, computed INTO the cache so one aggregate
+        # over the cached rows can tell the caller how many rows each output
+        # carries (empty outputs then skip their write/scan jobs entirely —
+        # sparse waves, i.e. most waves of a converging crawl, stop paying
+        # full-cache scans for zero-row appends)
+        # Seen membership mirrors the two marking paths of the reference:
+        # AddKnownUri for every iterated link (:1153), and AddIfNew inside
+        # Scheduler.Add (Scheduler.cs:87-97) for anything scheduled.  With
+        # AllowUriRecrawling the Add path never touches the seen set
+        # (Scheduler.cs:78-86), so only AddKnownUri marks — which the
+        # MaxLinksPerPage break skips for the cap-triggering link, and which
+        # redirect children (direct Add, no link iteration) never get.
+        # Direct-Add candidates (seeds, sitemap items — StartCrawlRootPage /
+        # GoogleWebCrawler bulk adds) have no link iteration, so their only
+        # marking path is Scheduler.Add's AddIfNew, gone under recrawling.
+        if cfg.is_uri_recrawling_enabled:
+            marked = ((F.col("kind") == 1) & F.col("iterated")
+                      & ~F.col("_cap_breaker") & F.lit(not direct_add))
+        else:
+            marked = (((F.col("kind") == 1) & F.col("iterated"))
+                      | ((F.col("kind") == 0) & F.col("admitted")))
+        cand = cand.withColumn("_out_seen_add", marked & ~F.col("_in_seen"))
+        # user ShouldCrawlPage denial is evented (WebCrawler.cs:924-925) —
+        # but only when every built-in allowed AND the budget did not already
+        # deny silently (the serial loop never reaches the user delegate then)
+        user_denied_evt = (F.lit(False) if user_ok is None else
+                           (F.col("pre_builtin") & ~F.col("budget_denied")
+                            & ~user_ok))
+        cand = cand.withColumn("_user_denied_evt", user_denied_evt)
+        cand = cand.withColumn(
+            "_out_disallowed",
+            # `decidable` (not just ~dup_skipped): a link vetoed by the F9
+            # user delegate never reaches ShouldSchedulePageLink in the
+            # reference (:1117-1118), so it fires no robots/decision event
+            F.col("iterated") & decidable
+            & ~silent_external & F.lit(not latched)
+            & (~F.col("robots_ok") | F.col("static_reason").isNotNull()
+               | F.col("domain_cap_hit") | F.col("_user_denied_evt")))
+
+        return cand.withColumn("_marks", marked)
+
+    cand = _decision_chain(cand)
+    if cfg.max_links_per_page_active:
+        # second pass (link-cap refinement of the marking-aware dedup):
+        # with the cap active, a link's marking depends on iterated /
+        # cap-breaker status, which the first pass computed; recompute
+        # ``dup_skipped`` from those exact marks and re-run the chain.
+        # Residual (documented): a >=3-deep same-wave collision where the
+        # second occurrence's own refinement flips a third occurrence.
+        chain_cols = ["dup_skipped", "domain_cap_hit", "pre_builtin",
+                      "pre_eligible", "_rn", "_bdelta", "budget_denied",
+                      "admitted", "iterated", "_cap_breaker",
+                      "_out_seen_add", "_user_denied_evt", "_out_disallowed"]
+        base2 = cand.drop(*[c for c in chain_cols if c in cand.columns])
+        cand = _decision_chain(
+            with_dup(base2, F.col("_marks")).drop("_marks"))
 
     # several downstream consumers (admitted / seen_add / disallowed /
     # latch probe) — materialize once

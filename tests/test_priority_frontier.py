@@ -122,3 +122,25 @@ def test_bucketed_rank_matches_plain_window(spark):
                 frontier_order=order, politeness_rank_scale_rows=1),
                 scale=True)
             assert scaled == plain, (order, base)
+
+
+def test_bucketed_rank_plan_has_no_single_partition_exchange(spark):
+    """Plan guard (VERDICT r1 #9): above politeness_rank_scale_rows the
+    quota rank must run the two-phase bucketed plan — no Exchange
+    SinglePartition anywhere in the due split's physical plan, and the
+    rank window keyed by the seq bucket, so one hot Zipf domain can
+    never become a single giant window partition."""
+    rows = [(f"http://hot/p{i}", i, 0, "hot", 0, False) for i in range(50)]
+    frontier = spark.createDataFrame(rows, SCHEMA)
+    empty_pages = spark.createDataFrame([], "url string, html binary")
+    for order in ("fifo", "priority"):
+        cfg = CrawlConfig(min_crawl_delay_per_domain_milli_seconds=1_000,
+                          frontier_order=order,
+                          politeness_rank_scale_rows=1)
+        c = WaveCrawler(spark, cfg, tempfile.mkdtemp(prefix="abot-rank-"),
+                        empty_pages)
+        due, _, _ = c._politeness_split(frontier, {}, wave_ts=0,
+                                        n_frontier=len(rows), seq_hi=50)
+        plan = due._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, (order, plan)
+        assert "_bkt" in plan, (order, "bucketed window missing")

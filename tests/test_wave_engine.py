@@ -262,6 +262,74 @@ def test_per_domain_robots_scale_mode(spark, web):
     assert not any("/private/" in u for u in urls)
 
 
+def _fixture_parity(spark, fx, cfg, max_waves=40):
+    """Crawl a hand-built WebFixture on both engines; return orders."""
+    from abot_spark.sources.synthetic_web import write_parquet
+
+    serial = SerialCrawler(fx, cfg).crawl("http://c.corner.com/")
+    tmp = tempfile.mkdtemp(prefix="abot-corner-web-")
+    paths = write_parquet(fx, tmp)
+    crawler = WaveCrawler(
+        spark, cfg, tempfile.mkdtemp(prefix="abot-corner-"),
+        spark.read.parquet(paths["pages"]),
+        spark.read.parquet(paths["robots"]) if fx.robots else None)
+    state = crawler.crawl(["http://c.corner.com/"], max_waves=max_waves)
+    fetched = crawler.store.read_all("fetched", state.wave)
+    rows = fetched.orderBy("seq").collect() if fetched is not None else []
+    return serial, [r["url"] for r in rows]
+
+
+def test_denied_redirect_child_does_not_suppress_samewave_link(spark):
+    """Round-1 deviation corner, now closed: a redirect child denied by
+    the redirect cap marks NOTHING in the serial loop, so a later
+    same-wave link to the same URL is decided fresh and crawled.  The
+    marking-aware dedup must reproduce that instead of suppressing the
+    second occurrence."""
+    from abot_spark.sources.synthetic_web import WebFixture, _page, PageRec
+
+    root = "http://c.corner.com"
+    fx = WebFixture()
+    fx.pages.append(_page(root + "/", ["/c1", "/a"], "root"))
+    fx.pages.append(PageRec(url=root + "/c1", html=b"", text="",
+                            status_code=301, location=root + "/c2"))
+    fx.pages.append(PageRec(url=root + "/c2", html=b"", text="",
+                            status_code=301, location=root + "/t"))
+    fx.pages.append(_page(root + "/a", ["/b"], "a"))
+    fx.pages.append(_page(root + "/b", ["/t"], "b"))
+    fx.pages.append(_page(root + "/t", [], "target"))
+
+    cfg = CrawlConfig(is_http_request_auto_redirects_enabled=False,
+                      http_request_max_auto_redirects=1)
+    serial, got = _fixture_parity(spark, fx, cfg)
+    assert got == serial.crawl_order
+    # the corner actually bit: T's redirect-child occurrence was denied
+    # (position 2 > cap 1) yet B's link still got it crawled
+    assert root + "/t" in got
+
+
+def test_recrawl_cap_breaker_samewave_duplicate_schedules_twice(spark):
+    """Round-1 deviation corner, now closed: under AllowUriRecrawling the
+    MaxLinksPerPage cap-breaker is scheduled but never marked known, so a
+    later same-wave link to the same URL schedules AGAIN — the serial
+    loop crawls it twice and so must the wave engine (link-cap
+    refinement pass of the marking-aware dedup)."""
+    from abot_spark.sources.synthetic_web import WebFixture, _page
+
+    root = "http://c.corner.com"
+    fx = WebFixture()
+    fx.pages.append(_page(root + "/", ["/p", "/q"], "root"))
+    fx.pages.append(_page(root + "/p", ["/x1", "/t"], "p"))  # /t = breaker
+    fx.pages.append(_page(root + "/q", ["/t"], "q"))
+    fx.pages.append(_page(root + "/x1", [], "x1"))
+    fx.pages.append(_page(root + "/t", [], "t"))
+
+    cfg = CrawlConfig(is_uri_recrawling_enabled=True,
+                      max_links_per_page=2, max_pages_to_crawl=25)
+    serial, got = _fixture_parity(spark, fx, cfg)
+    assert got == serial.crawl_order
+    assert got.count(root + "/t") == 2, "breaker dup must crawl twice"
+
+
 def _hooked_parity(spark, web, cfg, serial_hooks, spark_hooks,
                    check_disallowed=False):
     """Run serial + wave with the same user delegate and compare."""
