@@ -65,22 +65,32 @@ def bench_crawl(spark, cpus: int) -> dict:
         shuffle_partitions=max(cpus, 8),
         audit_text=False,                        # digest-only audit (scale mode)
     )
-    crawler = WaveCrawler(
-        spark, cfg, tempfile.mkdtemp(prefix="abot-bench-crawl-"),
-        pages, None)
-    t0 = time.monotonic()
-    state = crawler.crawl([f"http://d{i}.example.com/"
-                           for i in range(n_domains)], max_waves=12)
-    sec = time.monotonic() - t0
-    fetched = crawler.store.read_all("fetched", state.wave)
-    n = fetched.count() if fetched is not None else 0
-    return {
-        "corpus_pages": n_corpus,
-        "pages": n,
-        "waves": state.wave + 1,
-        "sec": round(sec, 2),
-        "pages_per_sec": round(n / sec, 1) if sec > 0 else 0.0,
-    }
+    def run(run_cfg):
+        crawler = WaveCrawler(
+            spark, run_cfg, tempfile.mkdtemp(prefix="abot-bench-crawl-"),
+            pages, None)
+        t0 = time.monotonic()
+        state = crawler.crawl([f"http://d{i}.example.com/"
+                               for i in range(n_domains)], max_waves=12)
+        sec = time.monotonic() - t0
+        fetched = crawler.store.read_all("fetched", state.wave)
+        n = fetched.count() if fetched is not None else 0
+        return {
+            "pages": n,
+            "waves": state.wave + 1,
+            "sec": round(sec, 2),
+            "pages_per_sec": round(n / sec, 1) if sec > 0 else 0.0,
+        }
+
+    out = {"corpus_pages": n_corpus, **run(cfg)}
+    # the 10^10-seen-set fast path, forced live from wave 0: sharded
+    # bloom sidecar probe + per-wave shard absorbs + the forked cached
+    # plan.  At this corpus size the LINEAR plan is optimal (the sidecar
+    # engages at seen_bloom_min_rows in production), so this lane prices
+    # the sidecar plumbing end-to-end rather than showing a speedup.
+    out["bloom_forced"] = run(cfg.with_(
+        use_seen_bloom=True, seen_bloom_min_rows=0))
+    return out
 
 
 HEADLINE = [
