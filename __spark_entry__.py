@@ -455,6 +455,20 @@ def q_text_fingerprint(spark, sf_dir):
     return T.fingerprint(_docs(spark, sf_dir), k=8).orderBy("doc_id")
 
 
+def q_text_gopher(spark, sf_dir):
+    """Gopher-style quality gates (Rae et al. 2021 A1.1): word counts,
+    mean word length, symbol/bullet/ellipsis ratios, alphabetic-word
+    fraction, distinct stopwords, combined keep verdict."""
+    return T.gopher_quality(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_text_repetition(spark, sf_dir):
+    """Within-document repetition signals (Gopher/RefinedWeb repetition
+    removal): duplicate-line fraction + char fraction, top word-2-gram
+    character share."""
+    return T.repetition_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_text_ngram_topk(spark, sf_dir):
     """Corpus profiling: top-10 word bigrams per language by document
     frequency (ties broken on the n-gram string for a total order)."""
@@ -619,6 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "text_gopher_quality": q_text_gopher,
+        "text_repetition": q_text_repetition,
         "text_ngram_topk": q_text_ngram_topk,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "sessionize": q_sessionize,
@@ -1083,6 +1099,106 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(list_min(list_transform({grams8}, g -> md5(g))),
                             md5(text)) AS fingerprint
             FROM documents ORDER BY doc_id""",
+        "text_gopher_quality": r"""
+            WITH base AS (
+              SELECT doc_id, COALESCE(text, '') AS t,
+                     trim(COALESCE(text, '')) AS tr
+              FROM documents),
+            w AS (
+              SELECT doc_id, t,
+                     CASE WHEN tr = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(tr, '\s+') END AS words,
+                     list_filter(list_transform(
+                       string_split(t, chr(10)), x -> trim(x)),
+                       x -> x <> '') AS lines
+              FROM base),
+            m AS (
+              SELECT doc_id,
+                     len(words) AS n_words,
+                     round(COALESCE(list_sum(list_transform(
+                         words, x -> len(x))), 0) * 1.0
+                       / greatest(len(words), 1), 4) AS mean_word_len,
+                     round((len(t) - len(replace(t, '#', ''))
+                       + floor((len(t) - len(regexp_replace(
+                           t, '\.\.\.', '', 'g'))) / 3)) * 1.0
+                       / greatest(len(words), 1), 4) AS symbol_word_ratio,
+                     round(len(list_filter(lines,
+                         x -> regexp_matches(x, '^[-*]'))) * 1.0
+                       / greatest(len(lines), 1), 4) AS bullet_line_frac,
+                     round(len(list_filter(lines,
+                         x -> regexp_matches(x, '\.\.\.$'))) * 1.0
+                       / greatest(len(lines), 1), 4) AS ellipsis_line_frac,
+                     round(len(list_filter(words,
+                         x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+                       / greatest(len(words), 1), 4) AS alpha_word_frac,
+                     CAST(len(list_distinct(regexp_extract_all(lower(t),
+                       '\b(the|a|of|and|to|in|is|it)\b'))) AS INT)
+                       AS n_stop_distinct
+              FROM w)
+            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+                   bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+                   n_stop_distinct,
+                   ((n_words BETWEEN 50 AND 100000)
+                    AND (mean_word_len BETWEEN 3 AND 10)
+                    AND symbol_word_ratio <= 0.1
+                    AND bullet_line_frac <= 0.9
+                    AND ellipsis_line_frac <= 0.3
+                    AND alpha_word_frac >= 0.8
+                    AND n_stop_distinct >= 2) AS keep
+            FROM m ORDER BY doc_id""",
+        "text_repetition": f"""
+            WITH lines AS (
+              SELECT doc_id, x AS line
+              FROM documents,
+                   UNNEST(list_filter(list_transform(
+                     string_split(COALESCE(text, ''), chr(10)),
+                     x -> trim(x)), x -> x <> '')) t(x)),
+            pl AS (SELECT doc_id, line, count(*) AS cnt
+                   FROM lines GROUP BY 1, 2),
+            ls AS (SELECT doc_id, sum(cnt) AS n_lines,
+                          sum(cnt - 1) AS dup_lines,
+                          sum(cnt * len(line)) AS line_chars,
+                          sum((cnt - 1) * len(line)) AS dup_chars
+                   FROM pl GROUP BY 1),
+            norm AS (SELECT doc_id, {_NORM_SQL} AS nrm FROM documents),
+            toks AS (SELECT doc_id, len(nrm) AS norm_len,
+                            CASE WHEN nrm = '' THEN []::VARCHAR[]
+                                 ELSE string_split(nrm, ' ') END AS tk
+                     FROM norm),
+            grams AS (
+              SELECT doc_id, norm_len, g
+              FROM toks,
+                   UNNEST(CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                     ELSE list_transform(
+                       generate_series(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i + 1]) END) t(g)),
+            pg AS (SELECT doc_id, norm_len, g, count(*) AS cnt
+                   FROM grams GROUP BY 1, 2, 3),
+            mx AS (SELECT doc_id, max(cnt) AS maxc,
+                          first(norm_len) AS norm_len
+                   FROM pg GROUP BY 1),
+            top AS (SELECT p.doc_id, min(p.g) AS top_2gram,
+                           first(m.maxc) AS topc,
+                           first(m.norm_len) AS norm_len
+                    FROM pg p JOIN mx m
+                      ON m.doc_id = p.doc_id AND p.cnt = m.maxc
+                    GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(ls.n_lines, 0) AS INT) AS n_lines,
+                   round(COALESCE(ls.dup_lines, 0) * 1.0
+                     / greatest(COALESCE(ls.n_lines, 0), 1), 4)
+                     AS dup_line_frac,
+                   round(COALESCE(ls.dup_chars, 0) * 1.0
+                     / greatest(COALESCE(ls.line_chars, 0), 1), 4)
+                     AS dup_line_char_frac,
+                   top.top_2gram,
+                   round(COALESCE(top.topc * len(top.top_2gram), 0) * 1.0
+                     / greatest(COALESCE(top.norm_len, 0), 1), 4)
+                     AS top_2gram_char_frac
+            FROM documents d
+            LEFT JOIN ls ON ls.doc_id = d.doc_id
+            LEFT JOIN top ON top.doc_id = d.doc_id
+            ORDER BY d.doc_id""",
         "text_ngram_topk": f"""
             WITH ex AS (
               SELECT lang, doc_id, unnest({_shingles_sql(2)}) AS ngram

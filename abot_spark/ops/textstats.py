@@ -129,6 +129,149 @@ def fingerprint(documents: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
+def gopher_quality(documents: DataFrame) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021 §A1.1, the
+    rule set RefinedWeb/Dolma-style pipelines reuse): per-document word
+    count, mean word length, symbol-to-word ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, distinct-stopword count, and
+    the combined ``keep`` verdict with the published thresholds
+    (50 <= words <= 100k, 3 <= mean word len <= 10, symbols/word <= 0.1,
+    bullet lines <= 90%, ellipsis lines <= 30%, >= 80% words with an
+    alphabetic char, >= 2 distinct stopwords).
+
+    Scale notes: pure higher-order array/regex Column expressions —
+    whole-stage codegen, zero UDFs, ZERO shuffles (each document is
+    scored from its own row); thresholds compare 4-decimal-rounded
+    ratios so the DuckDB oracle makes identical keep decisions.
+    """
+    t = F.coalesce(F.col("text"), F.lit(""))
+    trimmed = F.trim(t)
+    words = F.when(trimmed == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(trimmed, r"\s+"))
+    n_words = F.size(words)
+    mean_word_len = F.round(
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+        / F.greatest(n_words, F.lit(1)), 4)
+    # Gopher's symbol set: '#' and '...' (ellipsis)
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    n_ellipsis = F.floor(
+        (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3)
+    symbol_word_ratio = F.round(
+        (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1)), 4)
+    alpha_word_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        / F.greatest(n_words, F.lit(1)), 4)
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "")
+    n_lines = F.size(lines)
+    bullet_line_frac = F.round(
+        F.size(F.filter(lines, lambda x: x.rlike(r"^[-*]")))
+        / F.greatest(n_lines, F.lit(1)), 4)
+    ellipsis_line_frac = F.round(
+        F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.$")))
+        / F.greatest(n_lines, F.lit(1)), 4)
+    stop_pat = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
+    n_stop_distinct = F.size(F.array_distinct(
+        F.regexp_extract_all(F.lower(t), F.lit(stop_pat), F.lit(0))))
+    keep = ((n_words >= 50) & (n_words <= 100_000)
+            & (mean_word_len >= 3) & (mean_word_len <= 10)
+            & (symbol_word_ratio <= 0.1)
+            & (bullet_line_frac <= 0.9) & (ellipsis_line_frac <= 0.3)
+            & (alpha_word_frac >= 0.8) & (n_stop_distinct >= 2))
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        bullet_line_frac.alias("bullet_line_frac"),
+        ellipsis_line_frac.alias("ellipsis_line_frac"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        n_stop_distinct.cast("int").alias("n_stop_distinct"),
+        keep.alias("keep"))
+
+
+def repetition_scores(documents: DataFrame) -> DataFrame:
+    """Within-document repetition signals (the Gopher/RefinedWeb
+    repetition-removal family): duplicate-line fraction and char
+    fraction, plus the character share of the most frequent word 2-gram.
+
+    Definitions (documented so the oracle is exact):
+
+    - a "line" is a nonempty ``trim``med ``\\n``-span; ``dup_line_frac``
+      = repeats beyond each line's first occurrence / total lines;
+      ``dup_line_char_frac`` weights the same by line length;
+    - ``top_2gram_char_frac`` = occurrences x length of the most
+      frequent word 2-gram over the normalized text (ties: lexicographic
+      smallest gram), divided by the normalized text's length.
+
+    Scale notes: explode -> partial-aggregated ``groupBy(doc_id, key)``
+    -> per-doc aggregate — linear work keyed by doc, two shuffles, no
+    windows over unbounded partitions (the per-doc rank is an argmax
+    carried inside ``max_by``-style struct aggregation).
+    """
+    from abot_spark.ops.dedup import normalize_text
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    lines = documents.select(
+        "doc_id",
+        F.explode(F.filter(
+            F.transform(F.split(t, r"\n"), lambda x: F.trim(x)),
+            lambda x: x != "")).alias("line"))
+    per_line = lines.groupBy("doc_id", "line").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    line_stats = per_line.groupBy("doc_id").agg(
+        F.sum("cnt").alias("_n_lines"),
+        F.sum(F.col("cnt") - 1).alias("_dup_lines"),
+        F.sum(F.col("cnt") * F.length("line")).alias("_line_chars"),
+        F.sum((F.col("cnt") - 1) * F.length("line")).alias("_dup_chars"))
+
+    norm = documents.select(
+        "doc_id", normalize_text(F.col("text")).alias("_norm"))
+    toks = norm.select(
+        "doc_id", F.length("_norm").alias("_norm_len"),
+        F.when(F.col("_norm") == "", F.array().cast("array<string>"))
+        .otherwise(F.split(F.col("_norm"), " ")).alias("_toks"))
+    grams = toks.select(
+        "doc_id", "_norm_len",
+        F.explode(F.when(
+            F.size("_toks") < 2, F.array().cast("array<string>")
+        ).otherwise(F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("_toks"), i + 1),
+                F.element_at(F.col("_toks"), i + 2))))).alias("gram"))
+    per_gram = grams.groupBy("doc_id", "_norm_len", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    # per-doc argmax, engine-portably: max count first, then the
+    # lexicographically smallest gram at that count (a semi-join back —
+    # no window, no struct-ordering subtleties)
+    max_cnt = per_gram.groupBy("doc_id").agg(F.max("cnt").alias("_maxc"))
+    top = per_gram.join(max_cnt, "doc_id") \
+        .filter(F.col("cnt") == F.col("_maxc")) \
+        .groupBy("doc_id").agg(
+            F.min("gram").alias("top_2gram"),
+            F.first("_maxc").alias("_topc"),
+            F.first("_norm_len").alias("_norm_len"))
+    out = documents.select("doc_id") \
+        .join(line_stats, "doc_id", "left") \
+        .join(top, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("_n_lines", F.lit(0)).cast("int").alias("n_lines"),
+        F.round(F.coalesce("_dup_lines", F.lit(0))
+                / F.greatest(F.coalesce("_n_lines", F.lit(0)), F.lit(1)),
+                4).alias("dup_line_frac"),
+        F.round(F.coalesce("_dup_chars", F.lit(0))
+                / F.greatest(F.coalesce("_line_chars", F.lit(0)), F.lit(1)),
+                4).alias("dup_line_char_frac"),
+        "top_2gram",
+        F.round(F.coalesce(
+            F.col("_topc") * F.length("top_2gram"),
+            F.lit(0)) / F.greatest("_norm_len", F.lit(1)), 4)
+        .alias("top_2gram_char_frac"))
+
+
 def ngram_topk(documents: DataFrame, n: int = 2, k: int = 10,
                by_lang: bool = True) -> DataFrame:
     """(lang, ngram, n_docs, rank): top-``k`` word n-grams per language

@@ -99,6 +99,7 @@ HEADLINE = [
     "dedup_simhash", "dedup_clusters", "dedup_paragraphs",
     "ann_cosine_topk", "ann_ivf_topk",
     "text_quality", "text_langid", "text_fingerprint",
+    "text_gopher_quality", "text_repetition",
     "sessionize", "lineitem_pricing", "media_features",
     "pipeline_clean_corpus",
 ]

@@ -446,3 +446,54 @@ def test_ngram_topk_doc_frequency_and_ties(spark):
     assert ranks == sorted(ranks)
     es = [r for r in out if r["lang"] == "es"]
     assert len(es) == 1 and es[0]["ngram"] == "uno dos"
+
+
+def test_gopher_quality_gates(spark):
+    """Each Gopher gate (Rae et al. 2021 A1.1) must fire on its crafted
+    offender and the clean doc must pass all of them."""
+    good = ("the project of building a corpus is described here and it "
+            "required careful work to collect clean useful text in many "
+            "piles of records " * 4)          # ~100 words, stopwords, alpha
+    rows = [
+        (0, good),
+        (1, "too short to pass the fifty word minimum"),
+        (2, " ".join(["x"] * 60)),            # mean word len 1 < 3
+        (3, ("# " * 30) + good),              # symbol ratio > 0.1
+        (4, "\n".join(["- item " + str(i) for i in range(30)])),  # bullets
+        (5, good.replace("the", "zzz").replace("and", "qqq")
+            .replace("it", "vv").replace("of", "ww").replace("a ", "b ")
+            .replace("to", "kk").replace("in", "jj").replace("is", "hh")),
+        (6, ""),
+    ]
+    out = {r["doc_id"]: r for r in T.gopher_quality(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[0]["keep"], out[0]
+    assert not out[1]["keep"] and out[1]["n_words"] < 50
+    assert not out[2]["keep"] and out[2]["mean_word_len"] < 3
+    assert not out[3]["keep"] and out[3]["symbol_word_ratio"] > 0.1
+    assert not out[4]["keep"] and out[4]["bullet_line_frac"] > 0.9
+    assert not out[5]["keep"] and out[5]["n_stop_distinct"] < 2
+    assert not out[6]["keep"] and out[6]["n_words"] == 0
+
+
+def test_repetition_scores_lines_and_grams(spark):
+    rows = [
+        (0, "unique one\nrepeated line\nrepeated line\nunique two"),
+        (1, "spark spark spark spark"),     # top 2-gram 'spark spark' x3
+        (2, "single"),                       # no 2-grams
+        (3, ""),
+    ]
+    out = {r["doc_id"]: r for r in T.repetition_scores(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    r0 = out[0]
+    assert r0["n_lines"] == 4
+    assert r0["dup_line_frac"] == 0.25       # 1 repeat / 4 lines
+    # repeated chars: 13 of (10+13+13+10)
+    assert r0["dup_line_char_frac"] == round(13 / 46, 4)
+    r1 = out[1]
+    assert r1["top_2gram"] == "spark spark"
+    # 3 occurrences x 11 chars over 23 normalized chars
+    assert r1["top_2gram_char_frac"] == round(33 / 23, 4)
+    assert out[2]["top_2gram"] is None
+    assert out[2]["top_2gram_char_frac"] == 0.0
+    assert out[3]["n_lines"] == 0 and out[3]["dup_line_frac"] == 0.0
