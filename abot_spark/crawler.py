@@ -936,7 +936,10 @@ class WaveCrawler:
         if delays_df is not None:
             # scale mode (per-domain robots): Crawl-delays come from the
             # distributed rules table — a join on domain, not a driver-
-            # built literal map (millions of domains would not fit one)
+            # built literal map (millions of domains would not fit one).
+            # The joined column RIDES ON the due rows (not dropped) so the
+            # live-fetch stage's in-partition pacing sees the same
+            # per-domain delay without a second join (fetch_live.py).
             frontier = frontier.join(delays_df, "domain", "left")
             delay_col = F.greatest(
                 F.coalesce(F.col("_robots_delay_ms"), F.lit(0)), F.lit(base))
@@ -991,8 +994,9 @@ class WaveCrawler:
                     .withColumn("_delay", delay_col)
             is_due = (F.coalesce(F.col("_qrank"), F.lit(1 << 62))
                       <= F.col("_quota"))
-            due = ranked.filter(is_due).drop(
-                "_qrank", "_quota", "_delay", "_robots_delay_ms")
+            # keep _robots_delay_ms on `due`: the live-fetch stage paces
+            # with it (dropped before rows reach the frontier schema)
+            due = ranked.filter(is_due).drop("_qrank", "_quota", "_delay")
             deferred = ranked.filter(~is_due).drop(
                 "_qrank", "_quota", "_delay", "_robots_delay_ms")
             tagged = ranked.withColumn("_due", is_due)

@@ -221,13 +221,20 @@ def salted_fetch(frontier: DataFrame, cfg: CrawlConfig,
         last_ts: dict[tuple, int] = {}
         out_rows: list[dict] = []
         t_base = wave_ts_ms if not pace_sleep else int(time.time() * 1000)
+        has_col_delay = "_robots_delay_ms" in pdf.columns
         for i in order:
             row = pdf.loc[i]
             dom = row["domain"]
             # per-bucket pacing at delay*salt keeps the aggregate domain
             # rate at the politeness delay even with `salt` buckets firing
-            # independently
-            delay = max(delays.get(dom, 0), base_delay) * salt
+            # independently.  Per-domain robots Crawl-delays arrive either
+            # via the delays dict (parity mode) or as the _robots_delay_ms
+            # column the scale mode's politeness join left on the due rows
+            # (millions of domains never fit a driver dict).
+            col_delay = 0
+            if has_col_delay and pd.notna(row["_robots_delay_ms"]):
+                col_delay = int(row["_robots_delay_ms"])
+            delay = max(delays.get(dom, 0), col_delay, base_delay) * salt
             key = (dom, row["_salt_bucket"])
             prev = last_ts.get(key)
             due = t_base if prev is None else prev + delay

@@ -73,6 +73,33 @@ def test_pacing_per_bucket_rate(spark):
         assert ts == sorted(ts)          # FIFO by seq within the bucket
 
 
+def test_pacing_honors_robots_delay_column(spark):
+    """Scale mode ships per-domain robots Crawl-delays as a
+    _robots_delay_ms COLUMN on the due rows (a driver dict cannot hold
+    millions of domains); the in-partition pacing must take
+    max(column, config base), per domain."""
+    salt = 2
+    cfg = CrawlConfig(domain_salt=salt,
+                      min_crawl_delay_per_domain_milli_seconds=100)
+    fr = _frontier(spark, [f"http://slow.example.com/p{i}" for i in range(8)]
+                   + [f"http://fast.example.com/p{i}" for i in range(8)])
+    fr = fr.withColumn(
+        "_robots_delay_ms",
+        F.when(F.col("domain") == "slow.example.com", F.lit(500))
+        .otherwise(F.lit(None).cast("long")))
+    out = salted_fetch(fr, cfg, corpus_fetcher({}), wave_ts_ms=0)
+    rows = (out.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(salt)))
+            .select("domain", "bucket", "seq", "fetch_ts_ms").collect())
+    per = {}
+    for r in rows:
+        per.setdefault((r["domain"], r["bucket"]), []).append(r)
+    for (dom, _), rs in per.items():
+        rs.sort(key=lambda r: r["seq"])
+        expect = (500 if dom == "slow.example.com" else 100) * salt
+        for a, b in zip(rs, rs[1:]):
+            assert b["fetch_ts_ms"] - a["fetch_ts_ms"] == expect, dom
+
+
 def test_salted_colocation_and_spread(spark):
     """The salt key hash-colocates each (domain,bucket) in one partition
     while a hot domain spans multiple buckets (the skew defeat)."""

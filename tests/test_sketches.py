@@ -245,3 +245,41 @@ def test_crawl_parity_bloom_on_vs_off(spark):
         [(int(h),) for h in sorted(seen_on)], "url_hash long")
     got = shards.prober(state_on.wave + 1).probe(probe)
     assert got.filter("NOT maybe_seen").count() == 0
+
+
+def test_crawl_resume_with_bloom_forced_on(spark):
+    """Kill-and-resume with the sharded sidecar live from wave 0: the
+    resumed crawl must equal the uninterrupted one (shard files + wave
+    markers are the recovered state) and end with a marker proving
+    coverage through the final wave."""
+    import tempfile
+
+    from abot_spark.config import CrawlConfig
+    from abot_spark.crawler import WaveCrawler
+    from abot_spark.sources.synthetic_web import generate_web, write_parquet
+
+    fx = generate_web(n_domains=2, sections=2, leaves=2)
+    paths = write_parquet(fx, tempfile.mkdtemp(prefix="abot-bres-"))
+    pages = spark.read.parquet(paths["pages"])
+    robots = spark.read.parquet(paths["robots"])
+    cfg = CrawlConfig(is_respect_robots_dot_text_enabled=True,
+                      use_seen_bloom=True, seen_bloom_min_rows=0,
+                      bloom_n_shards=8)
+    seed = "http://d0.example.com/"
+
+    full = WaveCrawler(spark, cfg, tempfile.mkdtemp(prefix="abot-bresf-"),
+                       pages, robots)
+    st_full = full.crawl([seed], max_waves=30)
+    want = [r["url"] for r in full.store.read_all(
+        "fetched", st_full.wave).orderBy("seq").collect()]
+
+    wdir = tempfile.mkdtemp(prefix="abot-bresi-")
+    c1 = WaveCrawler(spark, cfg, wdir, pages, robots)
+    c1.crawl([seed], max_waves=2)   # interrupt after wave 1
+    c2 = WaveCrawler(spark, cfg, wdir, pages, robots)
+    c2._seed_auths = ("d0.example.com",)
+    st2 = c2.resume()
+    got = [r["url"] for r in c2.store.read_all(
+        "fetched", st2.wave).orderBy("seq").collect()]
+    assert got == want
+    assert c2._seen_shards.absorbed_through(st2.wave + 1) == st2.wave + 1
