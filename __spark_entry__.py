@@ -486,6 +486,19 @@ def q_pipeline_clean_corpus(spark, sf_dir):
                         minhash_k=8, bands=4).orderBy("doc_id")
 
 
+def q_pipeline_refinedweb(spark, sf_dir):
+    """The full RefinedWeb/Dolma-style rule set composed into the same
+    single-scan pipeline: length gate + Gopher A1.1 keep verdict +
+    duplicate-line gate -> lang-id -> exact dedup -> MinHash near-dup
+    removal.  The two extra gates are pure array/regex expressions
+    riding the base projection — zero extra scans or shuffles."""
+    from abot_spark.ops.pipeline import clean_corpus
+
+    return clean_corpus(_docs(spark, sf_dir), min_tokens=30, min_chars=200,
+                        minhash_k=8, bands=4, gopher=True,
+                        max_dup_line_frac=0.3).orderBy("doc_id")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events stream (30-min gap)."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -637,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_ngram_topk": q_text_ngram_topk,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "pipeline_refinedweb": q_pipeline_refinedweb,
         "sessionize": q_sessionize,
         "lineitem_pricing": q_lineitem_pricing,
         "warc_ingest": q_warc_ingest,
@@ -728,6 +742,55 @@ def _ivf_sql(C: int = 8, iters: int = 2, nprobe: int = 2, k: int = 5,
     return ("WITH " + ",\n".join(parts)
             + f" SELECT query_id, neighbor_id, rank, score FROM ranked "
               f"WHERE rank <= {k} ORDER BY query_id, rank")
+
+
+_GOPHER_SQL = r"""
+            WITH base AS (
+              SELECT doc_id, COALESCE(text, '') AS t,
+                     trim(COALESCE(text, '')) AS tr
+              FROM documents),
+            w AS (
+              SELECT doc_id, t,
+                     CASE WHEN tr = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(tr, '\s+') END AS words,
+                     list_filter(list_transform(
+                       string_split(t, chr(10)), x -> trim(x)),
+                       x -> x <> '') AS lines
+              FROM base),
+            m AS (
+              SELECT doc_id,
+                     len(words) AS n_words,
+                     round(COALESCE(list_sum(list_transform(
+                         words, x -> len(x))), 0) * 1.0
+                       / greatest(len(words), 1), 4) AS mean_word_len,
+                     round((len(t) - len(replace(t, '#', ''))
+                       + floor((len(t) - len(regexp_replace(
+                           t, '\.\.\.', '', 'g'))) / 3)) * 1.0
+                       / greatest(len(words), 1), 4) AS symbol_word_ratio,
+                     round(len(list_filter(lines,
+                         x -> regexp_matches(x, '^[-*]'))) * 1.0
+                       / greatest(len(lines), 1), 4) AS bullet_line_frac,
+                     round(len(list_filter(lines,
+                         x -> regexp_matches(x, '\.\.\.$'))) * 1.0
+                       / greatest(len(lines), 1), 4) AS ellipsis_line_frac,
+                     round(len(list_filter(words,
+                         x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+                       / greatest(len(words), 1), 4) AS alpha_word_frac,
+                     CAST(len(list_distinct(regexp_extract_all(lower(t),
+                       '\b(the|a|of|and|to|in|is|it)\b'))) AS INT)
+                       AS n_stop_distinct
+              FROM w)
+            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+                   bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+                   n_stop_distinct,
+                   ((n_words BETWEEN 50 AND 100000)
+                    AND (mean_word_len BETWEEN 3 AND 10)
+                    AND symbol_word_ratio <= 0.1
+                    AND bullet_line_frac <= 0.9
+                    AND ellipsis_line_frac <= 0.3
+                    AND alpha_word_frac >= 0.8
+                    AND n_stop_distinct >= 2) AS keep
+            FROM m"""
 
 
 def _bytesum_sql(hex_expr: str) -> str:
@@ -1099,53 +1162,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(list_min(list_transform({grams8}, g -> md5(g))),
                             md5(text)) AS fingerprint
             FROM documents ORDER BY doc_id""",
-        "text_gopher_quality": r"""
-            WITH base AS (
-              SELECT doc_id, COALESCE(text, '') AS t,
-                     trim(COALESCE(text, '')) AS tr
-              FROM documents),
-            w AS (
-              SELECT doc_id, t,
-                     CASE WHEN tr = '' THEN []::VARCHAR[]
-                          ELSE string_split_regex(tr, '\s+') END AS words,
-                     list_filter(list_transform(
-                       string_split(t, chr(10)), x -> trim(x)),
-                       x -> x <> '') AS lines
-              FROM base),
-            m AS (
-              SELECT doc_id,
-                     len(words) AS n_words,
-                     round(COALESCE(list_sum(list_transform(
-                         words, x -> len(x))), 0) * 1.0
-                       / greatest(len(words), 1), 4) AS mean_word_len,
-                     round((len(t) - len(replace(t, '#', ''))
-                       + floor((len(t) - len(regexp_replace(
-                           t, '\.\.\.', '', 'g'))) / 3)) * 1.0
-                       / greatest(len(words), 1), 4) AS symbol_word_ratio,
-                     round(len(list_filter(lines,
-                         x -> regexp_matches(x, '^[-*]'))) * 1.0
-                       / greatest(len(lines), 1), 4) AS bullet_line_frac,
-                     round(len(list_filter(lines,
-                         x -> regexp_matches(x, '\.\.\.$'))) * 1.0
-                       / greatest(len(lines), 1), 4) AS ellipsis_line_frac,
-                     round(len(list_filter(words,
-                         x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
-                       / greatest(len(words), 1), 4) AS alpha_word_frac,
-                     CAST(len(list_distinct(regexp_extract_all(lower(t),
-                       '\b(the|a|of|and|to|in|is|it)\b'))) AS INT)
-                       AS n_stop_distinct
-              FROM w)
-            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
-                   bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
-                   n_stop_distinct,
-                   ((n_words BETWEEN 50 AND 100000)
-                    AND (mean_word_len BETWEEN 3 AND 10)
-                    AND symbol_word_ratio <= 0.1
-                    AND bullet_line_frac <= 0.9
-                    AND ellipsis_line_frac <= 0.3
-                    AND alpha_word_frac >= 0.8
-                    AND n_stop_distinct >= 2) AS keep
-            FROM m ORDER BY doc_id""",
+        "text_gopher_quality": _GOPHER_SQL + " ORDER BY doc_id",
         "text_repetition": f"""
             WITH lines AS (
               SELECT doc_id, x AS line
@@ -1226,6 +1243,48 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             langed AS (SELECT *, {lang_pred} AS pred_lang FROM feat),
             gated AS (SELECT * FROM langed
+                      WHERE n_tokens >= 30 AND n_chars >= 200),
+            uniq AS (SELECT * FROM (
+                       SELECT *, min(doc_id) OVER (PARTITION BY digest)
+                         AS canon FROM gated)
+                     WHERE doc_id = canon),
+            bands AS ({' UNION ALL '.join(
+                f"SELECT d.doc_id, {b} AS band, "
+                f"md5({_minhash_sig_sql(2 * b)} || '|' || "
+                f"{_minhash_sig_sql(2 * b + 1)}) AS band_key "
+                f"FROM documents d SEMI JOIN uniq u ON d.doc_id = u.doc_id"
+                for b in range(4))}),
+            near AS (SELECT DISTINCT b2.doc_id
+                     FROM bands b1 JOIN bands b2
+                       ON b1.band = b2.band AND b1.band_key = b2.band_key
+                      AND b1.doc_id < b2.doc_id)
+            SELECT doc_id, pred_lang, n_chars, n_tokens FROM uniq
+            WHERE doc_id NOT IN (SELECT doc_id FROM near)
+            ORDER BY doc_id""",
+        "pipeline_refinedweb": f"""
+            WITH feat AS (
+              SELECT doc_id,
+                     len(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                     END AS n_tokens,
+                     md5({_NORM_SQL}) AS digest,
+                     {', '.join(f"{expr} AS score_{k}"
+                                for k, expr in lang_score.items())}
+              FROM documents),
+            langed AS (SELECT *, {lang_pred} AS pred_lang FROM feat),
+            gq AS ({_GOPHER_SQL}),
+            dl AS (
+              SELECT doc_id,
+                     round((len(lines) - len(list_distinct(lines))) * 1.0
+                       / greatest(len(lines), 1), 4) AS dlf
+              FROM (SELECT doc_id, list_filter(list_transform(
+                      string_split(COALESCE(text, ''), chr(10)),
+                      x -> trim(x)), x -> x <> '') AS lines
+                    FROM documents)),
+            gated AS (SELECT langed.* FROM langed
+                      JOIN gq ON gq.doc_id = langed.doc_id AND gq.keep
+                      JOIN dl ON dl.doc_id = langed.doc_id AND dl.dlf <= 0.3
                       WHERE n_tokens >= 30 AND n_chars >= 200),
             uniq AS (SELECT * FROM (
                        SELECT *, min(doc_id) OVER (PARTITION BY digest)

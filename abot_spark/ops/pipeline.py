@@ -33,21 +33,38 @@ from abot_spark.ops.dedup import (
     shingles_from_tokens,
     spread_input,
 )
-from abot_spark.ops.textstats import lang_pred_col, lang_scores, quality_cols
+from abot_spark.ops.textstats import (
+    dup_line_frac_col,
+    gopher_cols,
+    lang_pred_col,
+    lang_scores,
+    quality_cols,
+)
 
 
 def clean_corpus(documents: DataFrame, min_tokens: int = 30,
                  min_chars: int = 200, keep_langs: tuple[str, ...] = (),
                  minhash_k: int = 8, bands: int = 4,
-                 shingle_n: int = 3) -> DataFrame:
+                 shingle_n: int = 3, gopher: bool = False,
+                 max_dup_line_frac: float | None = None) -> DataFrame:
     """Surviving docs as (doc_id, pred_lang, n_chars, n_tokens).
 
     ``keep_langs`` empty = no language filter (pred_lang still reported).
     MinHash parameters match ``dedup.minhash_candidate_pairs`` so the
     near-dup stage is the same operator, inlined into the single scan.
+    ``gopher=True`` adds the Gopher A1.1 keep verdict and
+    ``max_dup_line_frac`` the row-local duplicate-line gate (both are
+    pure array/regex expressions, so the RefinedWeb-style full rule set
+    still costs ZERO extra scans or shuffles — they ride the same base
+    projection and shrink everything downstream).
     """
     q = quality_cols(F.col("text"))
     scores = lang_scores(F.col("text"))
+    extra = []
+    if gopher:
+        extra.append(gopher_cols(F.col("text"))["keep"].alias("_gopher_ok"))
+    if max_dup_line_frac is not None:
+        extra.append(dup_line_frac_col(F.col("text")).alias("_dup_lines"))
     # one projection computes every per-doc feature; the token array is
     # projected separately so the k signature mins share it (Catalyst
     # cannot CSE non-trivial children inside transform lambdas)
@@ -58,6 +75,7 @@ def clean_corpus(documents: DataFrame, min_tokens: int = 30,
         F.md5(normalize_text(F.col("text"))).alias("digest"),
         F.split(normalize_text(F.col("text")), " ").alias("_toks"),
         *[c.alias(f"score_{lang}") for lang, c in scores.items()],
+        *extra,
     )
     base = base.withColumn(
         "pred_lang",
@@ -65,6 +83,10 @@ def clean_corpus(documents: DataFrame, min_tokens: int = 30,
 
     gated = base.filter((F.col("n_tokens") >= min_tokens)
                         & (F.col("n_chars") >= min_chars))
+    if gopher:
+        gated = gated.filter(F.col("_gopher_ok"))
+    if max_dup_line_frac is not None:
+        gated = gated.filter(F.col("_dup_lines") <= max_dup_line_frac)
     if keep_langs:
         gated = gated.filter(F.col("pred_lang").isin(*keep_langs))
 

@@ -129,22 +129,11 @@ def fingerprint(documents: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
-def gopher_quality(documents: DataFrame) -> DataFrame:
-    """Gopher-style document quality gates (Rae et al. 2021 §A1.1, the
-    rule set RefinedWeb/Dolma-style pipelines reuse): per-document word
-    count, mean word length, symbol-to-word ratio, bullet/ellipsis line
-    fractions, alphabetic-word fraction, distinct-stopword count, and
-    the combined ``keep`` verdict with the published thresholds
-    (50 <= words <= 100k, 3 <= mean word len <= 10, symbols/word <= 0.1,
-    bullet lines <= 90%, ellipsis lines <= 30%, >= 80% words with an
-    alphabetic char, >= 2 distinct stopwords).
-
-    Scale notes: pure higher-order array/regex Column expressions —
-    whole-stage codegen, zero UDFs, ZERO shuffles (each document is
-    scored from its own row); thresholds compare 4-decimal-rounded
-    ratios so the DuckDB oracle makes identical keep decisions.
-    """
-    t = F.coalesce(F.col("text"), F.lit(""))
+def gopher_cols(text: Column) -> dict[str, Column]:
+    """The Gopher gate feature columns (see :func:`gopher_quality`) as a
+    dict, so the composed pipeline can inline them into its single-scan
+    projection."""
+    t = F.coalesce(text, F.lit(""))
     trimmed = F.trim(t)
     words = F.when(trimmed == "", F.array().cast("array<string>")) \
         .otherwise(F.split(trimmed, r"\s+"))
@@ -179,16 +168,51 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
             & (symbol_word_ratio <= 0.1)
             & (bullet_line_frac <= 0.9) & (ellipsis_line_frac <= 0.3)
             & (alpha_word_frac >= 0.8) & (n_stop_distinct >= 2))
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_word_ratio": symbol_word_ratio,
+        "bullet_line_frac": bullet_line_frac,
+        "ellipsis_line_frac": ellipsis_line_frac,
+        "alpha_word_frac": alpha_word_frac,
+        "n_stop_distinct": n_stop_distinct.cast("int"),
+        "keep": keep,
+    }
+
+
+def dup_line_frac_col(text: Column) -> Column:
+    """Row-local duplicate-line fraction — (lines - distinct lines) /
+    lines over nonempty trimmed ``\\n``-spans; the same value
+    :func:`repetition_scores` computes via its groupBy (``sum(cnt-1) /
+    sum(cnt)``), but as a pure array expression so the composed pipeline
+    can gate on it inside its single scan without a shuffle."""
+    lines = F.filter(
+        F.transform(F.split(F.coalesce(text, F.lit("")), r"\n"),
+                    lambda x: F.trim(x)),
+        lambda x: x != "")
+    return F.round(
+        (F.size(lines) - F.size(F.array_distinct(lines)))
+        / F.greatest(F.size(lines), F.lit(1)), 4)
+
+
+def gopher_quality(documents: DataFrame) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021 §A1.1, the
+    rule set RefinedWeb/Dolma-style pipelines reuse): per-document word
+    count, mean word length, symbol-to-word ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, distinct-stopword count, and
+    the combined ``keep`` verdict with the published thresholds
+    (50 <= words <= 100k, 3 <= mean word len <= 10, symbols/word <= 0.1,
+    bullet lines <= 90%, ellipsis lines <= 30%, >= 80% words with an
+    alphabetic char, >= 2 distinct stopwords).
+
+    Scale notes: pure higher-order array/regex Column expressions —
+    whole-stage codegen, zero UDFs, ZERO shuffles (each document is
+    scored from its own row); thresholds compare 4-decimal-rounded
+    ratios so the DuckDB oracle makes identical keep decisions.
+    """
+    cols = gopher_cols(F.col("text"))
     return documents.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        symbol_word_ratio.alias("symbol_word_ratio"),
-        bullet_line_frac.alias("bullet_line_frac"),
-        ellipsis_line_frac.alias("ellipsis_line_frac"),
-        alpha_word_frac.alias("alpha_word_frac"),
-        n_stop_distinct.cast("int").alias("n_stop_distinct"),
-        keep.alias("keep"))
+        "doc_id", *[c.alias(name) for name, c in cols.items()])
 
 
 def repetition_scores(documents: DataFrame) -> DataFrame:

@@ -101,7 +101,7 @@ HEADLINE = [
     "text_quality", "text_langid", "text_fingerprint",
     "text_gopher_quality", "text_repetition",
     "sessionize", "lineitem_pricing", "media_features",
-    "pipeline_clean_corpus",
+    "pipeline_clean_corpus", "pipeline_refinedweb",
 ]
 
 

@@ -497,3 +497,29 @@ def test_repetition_scores_lines_and_grams(spark):
     assert out[2]["top_2gram"] is None
     assert out[2]["top_2gram_char_frac"] == 0.0
     assert out[3]["n_lines"] == 0 and out[3]["dup_line_frac"] == 0.0
+
+
+def test_clean_corpus_gopher_and_dupline_gates(spark):
+    """The composed pipeline's optional RefinedWeb-style gates: a doc
+    failing Gopher (too short / no stopwords) or exceeding the
+    duplicate-line cap is dropped before dedup; clean docs survive."""
+    good = ("the project of building a corpus is described here and it "
+            "required careful work to collect clean useful text in many "
+            "piles of records " * 4)
+    good2 = ("a different account of the effort to assemble and clean a "
+             "large corpus is given in this report and it describes the "
+             "steps we took for quality checks " * 4)
+    repeat = "\n".join(["the same line of text appears here"] * 30)
+    rows = [(0, good, "en"),
+            (1, " ".join(["word"] * 60), "en"),        # no stopwords
+            (2, good2 + "\n" + repeat, "en")]          # dup lines > 0.3
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from abot_spark.ops.pipeline import clean_corpus
+    plain = {r["doc_id"] for r in clean_corpus(
+        docs, min_tokens=30, min_chars=200).collect()}
+    gated = {r["doc_id"] for r in clean_corpus(
+        docs, min_tokens=30, min_chars=200, gopher=True,
+        max_dup_line_frac=0.3).collect()}
+    assert 0 in plain and 0 in gated
+    assert 1 in plain and 1 not in gated      # gopher kills it
+    assert 2 in plain and 2 not in gated      # dup-line gate kills it
