@@ -491,11 +491,16 @@ def q_pipeline_refinedweb(spark, sf_dir):
     single-scan pipeline: length gate + Gopher A1.1 keep verdict +
     duplicate-line gate -> lang-id -> exact dedup -> MinHash near-dup
     removal.  The two extra gates are pure array/regex expressions
-    riding the base projection — zero extra scans or shuffles."""
+    riding the base projection — zero extra scans or shuffles.  The
+    stop-word gate list is corpus-tuned (the RefinedWeb/Dolma
+    per-language adaptation): the synthetic corpus' vocabulary carries
+    only a couple of Gopher's published English words, which would make
+    the published-list gate reject everything."""
     from abot_spark.ops.pipeline import clean_corpus
 
     return clean_corpus(_docs(spark, sf_dir), min_tokens=30, min_chars=200,
                         minhash_k=8, bands=4, gopher=True,
+                        gopher_stopwords=T.EN_STOPWORDS,
                         max_dup_line_frac=0.3).orderBy("doc_id")
 
 
@@ -744,7 +749,7 @@ def _ivf_sql(C: int = 8, iters: int = 2, nprobe: int = 2, k: int = 5,
               f"WHERE rank <= {k} ORDER BY query_id, rank")
 
 
-_GOPHER_SQL = r"""
+_GOPHER_SQL_TMPL = r"""
             WITH base AS (
               SELECT doc_id, COALESCE(text, '') AS t,
                      trim(COALESCE(text, '')) AS tr
@@ -777,7 +782,7 @@ _GOPHER_SQL = r"""
                          x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
                        / greatest(len(words), 1), 4) AS alpha_word_frac,
                      CAST(len(list_distinct(regexp_extract_all(lower(t),
-                       '\b(the|a|of|and|to|in|is|it)\b'))) AS INT)
+                       '__STOP_PAT__'))) AS INT)
                        AS n_stop_distinct
               FROM w)
             SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
@@ -791,6 +796,14 @@ _GOPHER_SQL = r"""
                     AND alpha_word_frac >= 0.8
                     AND n_stop_distinct >= 2) AS keep
             FROM m"""
+
+
+def _gopher_sql(stop_pat: str) -> str:
+    return _GOPHER_SQL_TMPL.replace("__STOP_PAT__", stop_pat)
+
+
+# the operator default: Gopher's published 8-word English gate list
+_GOPHER_SQL = _gopher_sql(r"\b(the|be|to|of|and|that|have|with)\b")
 
 
 def _bytesum_sql(hex_expr: str) -> str:
@@ -1222,7 +1235,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             df AS (
               SELECT lang, ngram, count(DISTINCT doc_id) AS n_docs
-              FROM ex GROUP BY 1, 2),
+              FROM ex GROUP BY 1, 2
+              HAVING count(DISTINCT doc_id) >= 2),
             r AS (
               SELECT lang, ngram, n_docs,
                      row_number() OVER (PARTITION BY lang
@@ -1273,7 +1287,7 @@ def oracle_sql() -> dict[str, str]:
                                 for k, expr in lang_score.items())}
               FROM documents),
             langed AS (SELECT *, {lang_pred} AS pred_lang FROM feat),
-            gq AS ({_GOPHER_SQL}),
+            gq AS ({_gopher_sql(en_stop)}),
             dl AS (
               SELECT doc_id,
                      round((len(lines) - len(list_distinct(lines))) * 1.0

@@ -106,6 +106,12 @@ class CrawlConfig:
                                       # two-phase bucketed rank
                                       # (plans/wave.py:domain_quota_rank);
                                       # 0 = always plain
+    fetch_missing_broadcast_rows: int = 1_000_000  # due-wave rows up to which
+                                      # the corpus-miss anti-join broadcasts
+                                      # the fetched-url set (urls only, so
+                                      # ~100 B/row -> <=100 MB build); above,
+                                      # no hint — AQE picks shuffle vs
+                                      # broadcast from the real measured size
     shuffle_partitions: int = 0       # 0 = inherit spark.sql.shuffle.partitions
     arrow_max_records_per_batch: int = 512  # UDF batch rows; default sized
                                       # for MB-scale html cells — raise for

@@ -637,14 +637,17 @@ class WaveCrawler:
             .drop("html").localCheckpoint()
         if self._corpus is not None:
             # corpus-miss rows (fetch_wave is an inner join so the corpus
-            # never re-sorts/shuffles): synthesized 404s off a broadcast
-            # anti-join against the just-checkpointed fetched urls.  Tiny
-            # (one row per dangling link that survived scheduling), but
-            # checkpointed too so the 5 downstream consumers don't replay
-            # the frontier scan + quota window + anti-join each
+            # never re-sorts/shuffles): synthesized 404s off an anti-join
+            # against the just-checkpointed fetched urls — broadcast only
+            # while the due wave is below the configured threshold (the
+            # build side is wave-sized, not miss-sized).  Checkpointed too
+            # so the 5 downstream consumers don't replay the frontier scan
+            # + quota window + anti-join each
+            n_due = int(d_row["n"]) if d_row else 0
             missing = W.extract_wave(
-                W.fetch_missing(due, extracted.select("url")), cfg,
-                dl_hook, ln_hook) \
+                W.fetch_missing(due, extracted.select("url"), n_wave=n_due,
+                                broadcast_rows=cfg.fetch_missing_broadcast_rows),
+                cfg, dl_hook, ln_hook) \
                 .withColumn("task_partition_id", F.spark_partition_id()) \
                 .drop("html").localCheckpoint()
             extracted = extracted.unionByName(missing)

@@ -46,13 +46,17 @@ def clean_corpus(documents: DataFrame, min_tokens: int = 30,
                  min_chars: int = 200, keep_langs: tuple[str, ...] = (),
                  minhash_k: int = 8, bands: int = 4,
                  shingle_n: int = 3, gopher: bool = False,
+                 gopher_stopwords: list[str] | None = None,
                  max_dup_line_frac: float | None = None) -> DataFrame:
     """Surviving docs as (doc_id, pred_lang, n_chars, n_tokens).
 
     ``keep_langs`` empty = no language filter (pred_lang still reported).
     MinHash parameters match ``dedup.minhash_candidate_pairs`` so the
     near-dup stage is the same operator, inlined into the single scan.
-    ``gopher=True`` adds the Gopher A1.1 keep verdict and
+    ``gopher=True`` adds the Gopher A1.1 keep verdict
+    (``gopher_stopwords`` substitutes a per-corpus stop-word gate list
+    for Gopher's published English default — the RefinedWeb/Dolma
+    per-language adaptation) and
     ``max_dup_line_frac`` the row-local duplicate-line gate (both are
     pure array/regex expressions, so the RefinedWeb-style full rule set
     still costs ZERO extra scans or shuffles — they ride the same base
@@ -62,7 +66,8 @@ def clean_corpus(documents: DataFrame, min_tokens: int = 30,
     scores = lang_scores(F.col("text"))
     extra = []
     if gopher:
-        extra.append(gopher_cols(F.col("text"))["keep"].alias("_gopher_ok"))
+        extra.append(gopher_cols(F.col("text"), gopher_stopwords)["keep"]
+                     .alias("_gopher_ok"))
     if max_dup_line_frac is not None:
         extra.append(dup_line_frac_col(F.col("text")).alias("_dup_lines"))
     # one projection computes every per-doc feature; the token array is

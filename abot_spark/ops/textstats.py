@@ -27,6 +27,11 @@ LANG_MARKERS = {
     "zh": ["de", "shi", "zai", "he", "le"],
 }
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+# Gopher's published stop-word gate list (Rae et al. 2021 §A1.1: "contain
+# at least two of the following English words: the, be, to, of, and,
+# that, have, with") — distinct from EN_STOPWORDS, which feeds the
+# lang-id/quality-ratio heuristics.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
 def token_count_col(text: Column) -> Column:
@@ -129,10 +134,13 @@ def fingerprint(documents: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
-def gopher_cols(text: Column) -> dict[str, Column]:
+def gopher_cols(text: Column,
+                stopwords: list[str] | None = None) -> dict[str, Column]:
     """The Gopher gate feature columns (see :func:`gopher_quality`) as a
     dict, so the composed pipeline can inline them into its single-scan
-    projection."""
+    projection.  ``stopwords`` defaults to Gopher's published 8-word
+    English list (``GOPHER_STOPWORDS``); the gate is language-specific,
+    so RefinedWeb/Dolma-style pipelines substitute a per-corpus list."""
     t = F.coalesce(text, F.lit(""))
     trimmed = F.trim(t)
     words = F.when(trimmed == "", F.array().cast("array<string>")) \
@@ -160,7 +168,7 @@ def gopher_cols(text: Column) -> dict[str, Column]:
     ellipsis_line_frac = F.round(
         F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.$")))
         / F.greatest(n_lines, F.lit(1)), 4)
-    stop_pat = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
+    stop_pat = r"\b(" + "|".join(stopwords or GOPHER_STOPWORDS) + r")\b"
     n_stop_distinct = F.size(F.array_distinct(
         F.regexp_extract_all(F.lower(t), F.lit(stop_pat), F.lit(0))))
     keep = ((n_words >= 50) & (n_words <= 100_000)
@@ -195,7 +203,8 @@ def dup_line_frac_col(text: Column) -> Column:
         / F.greatest(F.size(lines), F.lit(1)), 4)
 
 
-def gopher_quality(documents: DataFrame) -> DataFrame:
+def gopher_quality(documents: DataFrame,
+                   stopwords: list[str] | None = None) -> DataFrame:
     """Gopher-style document quality gates (Rae et al. 2021 §A1.1, the
     rule set RefinedWeb/Dolma-style pipelines reuse): per-document word
     count, mean word length, symbol-to-word ratio, bullet/ellipsis line
@@ -203,14 +212,15 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
     the combined ``keep`` verdict with the published thresholds
     (50 <= words <= 100k, 3 <= mean word len <= 10, symbols/word <= 0.1,
     bullet lines <= 90%, ellipsis lines <= 30%, >= 80% words with an
-    alphabetic char, >= 2 distinct stopwords).
+    alphabetic char, >= 2 distinct stopwords from Gopher's published
+    8-word list — ``GOPHER_STOPWORDS``).
 
     Scale notes: pure higher-order array/regex Column expressions —
     whole-stage codegen, zero UDFs, ZERO shuffles (each document is
     scored from its own row); thresholds compare 4-decimal-rounded
     ratios so the DuckDB oracle makes identical keep decisions.
     """
-    cols = gopher_cols(F.col("text"))
+    cols = gopher_cols(F.col("text"), stopwords)
     return documents.select(
         "doc_id", *[c.alias(name) for name, c in cols.items()])
 
@@ -296,21 +306,36 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
         .alias("top_2gram_char_frac"))
 
 
+#: Salt buckets for the two-phase top-k in :func:`ngram_topk`.  The
+#: final per-language merge window sees at most ``_TOPK_SALTS * k``
+#: rows per language regardless of vocabulary size.
+_TOPK_SALTS = 32
+
+
 def ngram_topk(documents: DataFrame, n: int = 2, k: int = 10,
-               by_lang: bool = True) -> DataFrame:
+               by_lang: bool = True, min_docs: int = 2) -> DataFrame:
     """(lang, ngram, n_docs, rank): top-``k`` word n-grams per language
     by *document* frequency — the corpus-profiling step that surfaces
     boilerplate candidates and template families before dedup.
 
     Document frequency (not term frequency) so one spammy document
     cannot dominate; ties break on the n-gram string so the rank is
-    total and engine-portable.
+    total and engine-portable.  N-grams seen in fewer than ``min_docs``
+    documents (default 2) are dropped before ranking: singleton n-grams
+    are by definition not boilerplate candidates, and at corpus scale
+    they ARE the vocabulary (Zipf tail), so the filter shrinks the
+    ranked set by orders of magnitude.
 
     Scale notes (100 TB corpus): explode → one partial-aggregated
-    groupBy((lang, ngram)); the rank window partitions by ``lang``
-    (bounded cardinality) over rows already shrunk to distinct n-grams —
-    at frontier scale, pre-filtering with ``n_docs > 1`` before the
-    window drops the long unique tail ahead of the sort.
+    groupBy((lang, ngram)) → ``n_docs >= min_docs`` tail drop → a
+    TWO-PHASE top-k so no single task ever sorts a language's whole
+    vocabulary: phase 1 ranks within ``(lang, salt)`` where
+    ``salt = xxhash64(ngram) % _TOPK_SALTS`` — each n-gram appears in
+    exactly one salt bucket, so every global top-k row survives its
+    bucket's local top-k — and phase 2 merges the ≤ ``_TOPK_SALTS·k``
+    survivors per language in a final (bounded) window.  Language
+    cardinality is tiny, so phase 2 is O(salts·k log salts·k) per
+    language however large the corpus.
     """
     from abot_spark.ops.dedup import normalize_text, shingles_from_tokens
 
@@ -321,10 +346,21 @@ def ngram_topk(documents: DataFrame, n: int = 2, k: int = 10,
     ).select(
         "lang", "doc_id",
         F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("ngram"))
-    df = grams.groupBy("lang", "ngram").agg(
-        F.count_distinct("doc_id").alias("n_docs"))
+    df = (grams.groupBy("lang", "ngram")
+          .agg(F.count_distinct("doc_id").alias("n_docs"))
+          .filter(F.col("n_docs") >= min_docs))
+    # Phase 1: local top-k inside each (lang, salt) bucket.  The global
+    # top-k is a subset of the union of bucket top-ks because each
+    # n-gram lives in exactly one bucket.
+    w_bucket = Window.partitionBy("lang", "_salt").orderBy(
+        F.col("n_docs").desc(), F.col("ngram"))
+    survivors = (df.withColumn(
+        "_salt", F.pmod(F.xxhash64("ngram"), F.lit(_TOPK_SALTS)))
+        .withColumn("_r", F.row_number().over(w_bucket))
+        .filter(F.col("_r") <= k))
+    # Phase 2: merge the bounded survivor set per language.
     w = Window.partitionBy("lang").orderBy(
         F.col("n_docs").desc(), F.col("ngram"))
-    return (df.withColumn("rank", F.row_number().over(w))
+    return (survivors.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("lang", "ngram", "n_docs", "rank"))

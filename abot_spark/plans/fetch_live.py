@@ -64,6 +64,12 @@ FETCH_COLS = StructType([
 FETCHER_FIELDS = ("status_code", "content_type", "html", "retry_after",
                   "x_robots_tag", "error", "location", "response_url")
 
+#: per-worker-process cookie jars, keyed by HttpFetcher._jar_key — the
+#: jar itself never pickles (CookieJar holds an RLock); each worker
+#: process that deserializes a fetcher lazily materializes its own jar
+#: here and keeps it across tasks and waves (see HttpFetcher docstring)
+_COOKIE_JARS: dict = {}
+
 
 class HttpFetcher:
     """Live fetch via stdlib urllib — the ``HttpWebRequest`` surface of
@@ -72,15 +78,26 @@ class HttpFetcher:
     gzip/deflate ``Accept-Encoding``, request timeout, the auto-redirect
     switch, HTTP Basic auth when ``is_always_login``
     (``Authorization: Basic base64(ascii(user:password))`` — byte-for-byte
-    the reference's header, ``PageRequester.cs:209-216``), and a cookie
-    jar when ``is_send_cookies_enabled`` (the reference's per-requester
-    ``CookieContainer``, ``:200-201`` + ``ProcessResponseObject``; here
-    one jar per fetcher instance = per Python worker, so a domain's
-    fetches — co-located by the salted domain partitioning — share their
-    session cookies).  Further headers a deployment needs ride in
-    ``extra_headers``."""
+    the reference's header, ``PageRequester.cs:209-216``, including the
+    ``Encoding.ASCII`` behavior of substituting ``?`` for non-ASCII
+    credential characters), and a cookie jar when
+    ``is_send_cookies_enabled`` (the reference's per-requester
+    ``CookieContainer``, ``:200-201`` + ``ProcessResponseObject``).
+
+    Cookie scope vs the reference: the reference's jar spans the whole
+    single-process crawl.  Here the fetcher closure is re-pickled per
+    Spark task, so the jar lives in a module-level registry keyed by
+    the fetcher's identity — one jar per (Python worker process,
+    fetcher), surviving task boundaries and waves while Spark reuses
+    workers (``spark.python.worker.reuse``, default on).  Combined with
+    the sticky salted-domain partitioning a domain's fetches keep
+    hitting the same worker and hence the same session cookies; a
+    domain rescheduled onto a different worker starts a fresh session —
+    the honest delta from the reference's process-global jar.  Further
+    headers a deployment needs ride in ``extra_headers``."""
 
     def __init__(self, cfg: CrawlConfig, extra_headers: dict | None = None):
+        import uuid
         self.user_agent = cfg.user_agent_string
         self.timeout_s = max(cfg.http_request_timeout_in_seconds, 1)
         self.auto_redirect = cfg.is_http_request_auto_redirects_enabled
@@ -88,19 +105,17 @@ class HttpFetcher:
         self.extra_headers = dict(extra_headers or {})
         if cfg.is_always_login:
             import base64
+            # errors='replace' = '?' for non-ASCII, matching .NET's
+            # Encoding.ASCII instead of raising UnicodeEncodeError
             cred = base64.b64encode(
-                f"{cfg.login_user}:{cfg.login_password}".encode("ascii")
+                f"{cfg.login_user}:{cfg.login_password}"
+                .encode("ascii", errors="replace")
             ).decode("ascii")
             self.extra_headers.setdefault("Authorization", "Basic " + cred)
         self.send_cookies = cfg.is_send_cookies_enabled
-        self._cookie_jar = None
-
-    def __getstate__(self):
-        # the jar is per-worker state (its RLock doesn't pickle): each
-        # executor worker lazily builds its own on first use
-        state = self.__dict__.copy()
-        state["_cookie_jar"] = None
-        return state
+        # stable across pickling: every deserialized copy of this fetcher
+        # resolves to the same per-worker jar in _COOKIE_JARS
+        self._jar_key = uuid.uuid4().hex
 
     def _handlers(self):
         import urllib.request
@@ -111,11 +126,11 @@ class HttpFetcher:
 
         handlers = [] if self.auto_redirect else [_NoRedirect()]
         if self.send_cookies:
-            if self._cookie_jar is None:
+            jar = _COOKIE_JARS.get(self._jar_key)
+            if jar is None:
                 from http.cookiejar import CookieJar
-                self._cookie_jar = CookieJar()
-            handlers.append(
-                urllib.request.HTTPCookieProcessor(self._cookie_jar))
+                jar = _COOKIE_JARS.setdefault(self._jar_key, CookieJar())
+            handlers.append(urllib.request.HTTPCookieProcessor(jar))
         return handlers
 
     def __call__(self, url: str) -> dict:

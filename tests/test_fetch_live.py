@@ -226,10 +226,31 @@ def test_http_fetcher_cookie_jar(http_srv):
     jar_off(f"{http_srv}/")
     assert "Cookie" not in _Handler.requests[-1][1]
 
-    # pickling for the executor closure never ships the live jar
+    # pickling for the executor closure never ships the live jar (the
+    # CookieJar's RLock doesn't pickle) — but the deserialized clone in
+    # this same process resolves the SAME jar via the module registry,
+    # so cookies persist across task re-pickles and waves (ADVICE r2)
     import pickle
+
+    from abot_spark.plans.fetch_live import _COOKIE_JARS
     clone = pickle.loads(pickle.dumps(jar_on))
-    assert clone._cookie_jar is None and clone.send_cookies
+    assert clone.send_cookies and clone._jar_key == jar_on._jar_key
+    clone(f"{http_srv}/")
+    assert "sid=42" in (_Handler.requests[-1][1].get("Cookie") or "")
+    assert _COOKIE_JARS[clone._jar_key] is _COOKIE_JARS[jar_on._jar_key]
+
+
+def test_http_fetcher_non_ascii_credentials():
+    """Encoding.ASCII parity (PageRequester.cs:209-216): non-ASCII
+    credential characters substitute '?' instead of raising."""
+    import base64
+
+    f = HttpFetcher(CrawlConfig(is_always_login=True,
+                                login_user="usér", login_password="pässwörd"))
+    val = f.extra_headers["Authorization"]
+    assert val.startswith("Basic ")
+    decoded = base64.b64decode(val[6:]).decode("ascii")
+    assert decoded == "us?r:p?ssw?rd"
 
 
 def test_salted_fetch_live_http(spark, http_srv):

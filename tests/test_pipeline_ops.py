@@ -436,7 +436,7 @@ def test_ngram_topk_doc_frequency_and_ties(spark):
         (3, "uno dos", "es"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
-    out = T.ngram_topk(docs, n=2, k=3).collect()
+    out = T.ngram_topk(docs, n=2, k=3, min_docs=1).collect()
     en = {r["ngram"]: r for r in out if r["lang"] == "en"}
     # document frequency, not term frequency: doc 0 repeats 'alpha beta'
     assert en["alpha beta"]["n_docs"] == 2 and en["alpha beta"]["rank"] == 1
@@ -446,6 +446,48 @@ def test_ngram_topk_doc_frequency_and_ties(spark):
     assert ranks == sorted(ranks)
     es = [r for r in out if r["lang"] == "es"]
     assert len(es) == 1 and es[0]["ngram"] == "uno dos"
+    # default min_docs=2 drops the singleton tail entirely
+    dflt = T.ngram_topk(docs, n=2, k=3).collect()
+    assert {(r["lang"], r["ngram"]) for r in dflt} == {("en", "alpha beta")}
+
+
+def test_ngram_topk_two_phase_plan_and_parity(spark):
+    """Plan guard (VERDICT r2 #1): one dominant language with a large
+    distinct-n-gram vocabulary must NOT be ranked in a single
+    per-language window over the whole vocabulary.  The physical plan
+    must show the bucketed phase-1 window (partitioned by the salt) and
+    the final merge window must sit above the phase-1 ``_r <= k``
+    filter; the two-phase result must equal the brute-force rank."""
+    import itertools
+    words = [f"w{i:03d}" for i in range(40)]
+    rows = []
+    # 200 docs, each a distinct 6-word line -> ~1000 distinct bigrams in
+    # one language, with a few repeated boilerplate lines.
+    combos = itertools.combinations(words, 6)
+    for d in range(200):
+        toks = list(next(combos))
+        rows.append((d, " ".join(toks) + " common boiler plate", "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = T.ngram_topk(docs, n=2, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # phase-1 window partitions on the salt column
+    assert "_salt" in plan, "bucketed phase-1 window missing from plan"
+    # exactly two Window operators: bucket top-k then bounded merge
+    assert plan.count("Window") >= 2
+    got = [(r["lang"], r["ngram"], r["n_docs"], r["rank"])
+           for r in out.orderBy("lang", "rank").collect()]
+    # brute force in Python over the same normalization
+    from collections import defaultdict
+    dfreq = defaultdict(set)
+    for d, text, lang in rows:
+        toks = text.split()
+        for i in range(len(toks) - 1):
+            dfreq[(lang, f"{toks[i]} {toks[i+1]}")].add(d)
+    ranked = sorted(((lang, g, len(ds)) for (lang, g), ds in dfreq.items()
+                     if len(ds) >= 2), key=lambda t: (t[0], -t[2], t[1]))
+    want = [(lang, g, nd, i + 1)
+            for i, (lang, g, nd) in enumerate(ranked[:5])]
+    assert got == want
 
 
 def test_gopher_quality_gates(spark):

@@ -173,6 +173,40 @@ def test_bloom_shards_rebuild_replaces_stale(spark):
         .filter("maybe_seen").count() < 5_000 * 0.05
 
 
+def test_bloom_shards_layout_change_drops_sidecar(spark):
+    """ADVICE r2: changing bloom_n_shards between runs remaps pmod
+    buckets — old shard files probed under the new mapping would yield
+    false negatives even though each file's own header still validates.
+    The persisted layout meta must detect the mismatch and drop the
+    sidecar (markers included) so the caller rebuilds or runs without
+    the fast path; a same-layout reopen must keep everything."""
+    import os
+
+    from abot_spark.store import BloomSeenShards
+
+    keys = _keys(10_000, 7)
+    base = tempfile.mkdtemp(prefix="abot-bshards-")
+    df = spark.createDataFrame([(int(k),) for k in keys], "url_hash long")
+    shards = BloomSeenShards(base, n_shards=8,
+                             expected_items=40_000, fpp=0.01)
+    shards.absorb(df, "url_hash", wave=0)
+    assert shards.absorbed_through(0) == 0
+
+    # same layout -> sidecar intact across reopen
+    again = BloomSeenShards(base, n_shards=8,
+                            expected_items=40_000, fpp=0.01)
+    assert again.absorbed_through(0) == 0
+    assert again.prober(0).probe(df).filter("NOT maybe_seen").count() == 0
+
+    # n_shards doubled with expected_items scaled proportionally: the
+    # per-shard geometry is unchanged (the trap in the advice), but the
+    # bucket mapping is not — the constructor must wipe the sidecar
+    changed = BloomSeenShards(base, n_shards=16,
+                              expected_items=80_000, fpp=0.01)
+    assert changed.absorbed_through(0) is None
+    assert not any(n.startswith("bucket=") for n in os.listdir(base))
+
+
 # -- spark: cuckoo sidecars -------------------------------------------------
 
 def test_cuckoo_sidecars_probe_and_delete(spark):
