@@ -471,7 +471,9 @@ def q_text_repetition(spark, sf_dir):
 
 def q_text_ngram_topk(spark, sf_dir):
     """Corpus profiling: top-10 word bigrams per language by document
-    frequency (ties broken on the n-gram string for a total order)."""
+    frequency (ties broken on the n-gram string for a total order;
+    singleton bigrams dropped by the default ``min_docs=2`` tail
+    filter — boilerplate candidates by definition repeat)."""
     return T.ngram_topk(_docs(spark, sf_dir), n=2, k=10) \
         .orderBy("lang", "rank")
 

@@ -49,19 +49,21 @@ Scale notes (10^10-URL frontier, 1000 executors):
 
 Deviations from serial semantics (documented corners).  The in-wave
 dedup is MARKING-AWARE (a later occurrence is suppressed only when an
-earlier one actually marks the URL known in the serial loop, with a
-link-cap refinement pass when ``max_links_per_page`` is active — see
-``schedule_wave``), which closed the round-1 denied-redirect-child and
-recrawl-cap-breaker corners.  What remains:
-- when ``max_links_per_page`` and ``max_pages_to_crawl`` are both tight in
-  the same wave the budget recount after the per-page cut is a second pass
-  (exact when only one of the two is active);
-- a redirect child denied only by the BUDGET or DOMAIN-CAP windows (not
-  by robots/static/external gates) still counts as marking for same-wave
-  dedup (serial would re-decide a later occurrence);
-- a >=3-deep same-wave collision where the refinement pass's change to
-  the second occurrence would flip the third (the pass runs once, not to
-  fixpoint).
+earlier one actually marks the URL known in the serial loop), with a
+refinement pass — run whenever a config that can make marking depend on
+non-row-local state is active (link cap, budget, domain cap, user page
+delegate; all of which bound the crawl) — that re-derives the dedup
+column from the first pass's EXACT marks and re-runs the budget window
+consuming slots only for links the first pass found iterated (a link
+the serial loop's cap ``break`` skips never probes MaxPages, so it can
+neither burn a budget slot nor latch the crawl).  This closed the
+round-1 denied-redirect-child and recrawl-cap-breaker corners and the
+round-2 window-denied-redirect-child and cap+budget-both-tight corners
+(shaped 10-seed collision sweeps green —
+``test_fuzz_parity.py::test_shaped_collision_parity``).  What remains:
+- a >=3-deep same-wave interaction where the refinement pass's change
+  to the second occurrence (dedup mark, budget slot, or cap break
+  position) would flip a third (the pass runs once, not to fixpoint).
 """
 
 from __future__ import annotations
@@ -784,8 +786,13 @@ def schedule_wave(
     def _decision_chain(cand):
         """The decision pipeline downstream of the dedup column: domain
         cap -> budget window -> admission -> per-page link cap -> seen
-        marks + audit flags.  Factored so the link-cap refinement pass
-        can re-run it with a corrected ``dup_skipped``."""
+        marks + audit flags.  Factored so the refinement pass can re-run
+        it with a corrected ``dup_skipped`` (and, via ``_iter_prev``,
+        first-pass cap-cut knowledge for the budget window — a link the
+        serial loop's cap ``break`` skips never probes MaxPages, so it
+        must neither consume a budget slot nor trip the latch)."""
+        iter_prev = (F.col("_iter_prev") if "_iter_prev" in cand.columns
+                     else F.lit(True))
         # a dup link is still iterated (stays seen-marked) but never
         # decided and never evented
         decidable = ~F.col("dup_skipped")
@@ -863,7 +870,7 @@ def schedule_wave(
             # they consume nothing but carry their serial-order probe value
             # (budget_used + _rn + 1), exactly the counter the serial loop
             # reads before the user delegate runs
-            consumers = cand.filter("pre_builtin").select(
+            consumers = cand.filter(F.col("pre_builtin") & iter_prev).select(
                 "url_hash", *ORD,
                 F.col("pre_eligible").cast("int").alias("_delta"))
             if retries is not None:
@@ -884,7 +891,7 @@ def schedule_wave(
                 .select("url_hash", *ORD, "_rn",
                         F.col("_delta").alias("_bdelta")),
                 ["url_hash", *ORD], "left")
-            budget_denied = (F.col("pre_builtin")
+            budget_denied = (F.col("pre_builtin") & iter_prev
                              & (F.lit(budget_used) + F.col("_rn")
                                 + (F.lit(1) - F.col("_bdelta"))
                                 > cfg.max_pages_to_crawl))
@@ -970,20 +977,34 @@ def schedule_wave(
         return cand.withColumn("_marks", marked)
 
     cand = _decision_chain(cand)
-    if cfg.max_links_per_page_active:
-        # second pass (link-cap refinement of the marking-aware dedup):
-        # with the cap active, a link's marking depends on iterated /
-        # cap-breaker status, which the first pass computed; recompute
-        # ``dup_skipped`` from those exact marks and re-run the chain.
-        # Residual (documented): a >=3-deep same-wave collision where the
-        # second occurrence's own refinement flips a third occurrence.
+    # second pass (refinement of the marking-aware dedup): the first
+    # pass approximated marking row-locally (``marks_pre``); the chain
+    # has now computed the EXACT marks — including iterated/cap-breaker
+    # status under the link cap, and admitted status under the budget /
+    # domain-cap windows and the user page delegate, all of which the
+    # row-local approximation cannot see (a redirect child denied only
+    # by a window marks nothing in the serial loop, so a later same-wave
+    # occurrence is decided fresh — the r2 residual).  Recompute
+    # ``dup_skipped`` from those exact marks and re-run the chain.  The
+    # triggering configs all bound the crawl (caps/budget/user gate), so
+    # an unbounded frontier-scale crawl still runs a single pass.
+    # Residual (documented): a >=3-deep same-wave collision where the
+    # second occurrence's own refinement flips a third occurrence.
+    needs_refinement = (
+        cfg.max_links_per_page_active
+        or (not cfg.is_uri_recrawling_enabled
+            and (cfg.max_pages_active or cfg.max_pages_per_domain_active
+                 or user_page_predicate is not None)))
+    if needs_refinement:
         chain_cols = ["dup_skipped", "domain_cap_hit", "pre_builtin",
                       "pre_eligible", "_rn", "_bdelta", "budget_denied",
                       "admitted", "iterated", "_cap_breaker",
                       "_out_seen_add", "_user_denied_evt", "_out_disallowed"]
-        base2 = cand.drop(*[c for c in chain_cols if c in cand.columns])
+        base2 = cand.withColumn("_iter_prev", F.col("iterated")) \
+            .drop(*[c for c in chain_cols if c in cand.columns])
         cand = _decision_chain(
             with_dup(base2, F.col("_marks")).drop("_marks"))
+        cand = cand.drop("_iter_prev")
 
     # several downstream consumers (admitted / seen_add / disallowed /
     # latch probe) — materialize once

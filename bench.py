@@ -93,16 +93,9 @@ def bench_crawl(spark, cpus: int) -> dict:
     return out
 
 
-HEADLINE = [
-    "crawl_seen_antijoin", "crawl_decisions_f1", "crawl_domain_cap",
-    "dedup_exact", "dedup_minhash_bands", "dedup_ngram_pairs",
-    "dedup_simhash", "dedup_clusters", "dedup_paragraphs",
-    "ann_cosine_topk", "ann_ivf_topk",
-    "text_quality", "text_langid", "text_fingerprint",
-    "text_gopher_quality", "text_repetition",
-    "sessionize", "lineitem_pricing", "media_features",
-    "pipeline_clean_corpus", "pipeline_refinedweb",
-]
+#: None = every ``queries()`` entry gets a trend line (VERDICT r2 #8);
+#: set to a list of names to restrict a quick local run.
+HEADLINE = None
 
 
 def main() -> None:
@@ -120,7 +113,7 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in (HEADLINE or qs):
         fn = qs[name]
         t0 = time.monotonic()
         n = fn(spark, sf_dir).count()

@@ -206,3 +206,77 @@ def test_fuzz_parity_with_bloom_forced_on(spark, seed):
         f"seed={seed} bloom-on order mismatch")
     assert {(r["url"], r["status_code"]) for r in rows} == {
         (e.url, e.status_code) for e in serial.crawled}
+
+
+def _shaped_collision_fixture(rng: random.Random):
+    """Adversarial shape for the dedup-marking corners (VERDICT r2 #5/#7):
+    redirect pages and direct links to the SAME small target set collide
+    repeatedly within one wave (2-4 deep), under tight budgets / domain
+    caps / link caps — exactly where a window-denied redirect child must
+    NOT suppress a later same-wave occurrence."""
+    fx = WebFixture()
+    d = "http://shape.fuzz.com"
+    targets = [f"{d}/t{k}" for k in range(4)]
+    redirs = [f"{d}/r{k}" for k in range(rng.randint(2, 5))]
+    extras = [f"{d}/x{k}" for k in range(3)]
+
+    root_links: list[str] = []
+    for _ in range(rng.randint(6, 14)):
+        r = rng.random()
+        if r < 0.4:
+            root_links.append(rng.choice(redirs))     # collision via 301
+        elif r < 0.85:
+            root_links.append(rng.choice(targets))    # direct collision
+        else:
+            root_links.append(rng.choice(extras))
+    fx.pages.append(_page(d + "/", root_links, "root"))
+    for q in redirs:
+        p = _page(q, [], f"r {q}")
+        p.status_code = 301
+        p.location = rng.choice(targets)
+        fx.pages.append(p)
+    for t in targets:
+        fx.pages.append(_page(
+            t, [rng.choice(targets), rng.choice(redirs),
+                rng.choice(targets)], f"t {t}"))
+    for x in extras:
+        fx.pages.append(_page(x, [rng.choice(targets)], f"x {x}"))
+    return fx, [d]
+
+
+def _shaped_config(rng: random.Random) -> CrawlConfig:
+    return CrawlConfig(
+        max_pages_to_crawl=rng.choice([3, 4, 6, 9]),
+        max_links_per_page=rng.choice([0, 1, 1, 2, 3]),
+        max_pages_to_crawl_per_domain=rng.choice([0, 0, 2, 4]),
+        is_uri_recrawling_enabled=rng.random() < 0.25,
+        max_retry_count=0,
+        is_http_request_auto_redirects_enabled=rng.random() < 0.8,
+        http_request_max_auto_redirects=rng.choice([1, 7]),
+    )
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33, 44, 55, 66, 77, 88, 99, 110])
+def test_shaped_collision_parity(spark, seed):
+    """Budget/cap-tight redirect-collision graphs must match the serial
+    oracle exactly — these shapes hunt the marking-refinement corners
+    (window-denied redirect children; >=3-deep same-wave collisions;
+    link cap + budget both tight in one wave)."""
+    rng = random.Random(seed)
+    fx, doms = _shaped_collision_fixture(rng)
+    cfg = _shaped_config(rng)
+    serial = SerialCrawler(fx, cfg).crawl(doms[0] + "/")
+
+    tmp = tempfile.mkdtemp(prefix="abot-shape-web-")
+    paths = write_parquet(fx, tmp)
+    crawler = WaveCrawler(
+        spark, cfg, tempfile.mkdtemp(prefix="abot-shape-crawl-"),
+        spark.read.parquet(paths["pages"]), None)
+    state = crawler.crawl([doms[0] + "/"], max_waves=40)
+    fetched = crawler.store.read_all("fetched", state.wave)
+    rows = fetched.orderBy("seq").collect() if fetched is not None else []
+
+    assert [r["url"] for r in rows] == serial.crawl_order, (
+        f"seed={seed} cfg={cfg} order mismatch")
+    assert {(r["url"], r["status_code"]) for r in rows} == {
+        (e.url, e.status_code) for e in serial.crawled}, f"seed={seed}"
