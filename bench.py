@@ -82,6 +82,19 @@ def bench_crawl(spark, cpus: int) -> dict:
             "pages_per_sec": round(n / sec, 1) if sec > 0 else 0.0,
         }
 
+    # untimed warmup mini-crawl: the first crawl in a fresh JVM pays
+    # one-time JIT/codegen/allocator costs (~2x wall measured on this
+    # box) that say nothing about the engine — standard steady-state
+    # benchmarking; the timed crawl below still includes every per-wave
+    # driver action, checkpoint and write
+    warm_fx = generate_web(n_domains=4, sections=3, leaves=3,
+                           zipf=False, with_fixtures=False)
+    warm_dir = tempfile.mkdtemp(prefix="abot-bench-warm-")
+    warm_paths = write_parquet(warm_fx, warm_dir)
+    WaveCrawler(spark, cfg, tempfile.mkdtemp(prefix="abot-bench-warmc-"),
+                spark.read.parquet(warm_paths["pages"]), None) \
+        .crawl([f"http://d{i}.example.com/" for i in range(4)], max_waves=4)
+
     out = {"corpus_pages": n_corpus, **run(cfg)}
     # the 10^10-seen-set fast path, forced live from wave 0: sharded
     # bloom sidecar probe + per-wave shard absorbs + the forked cached
