@@ -59,8 +59,10 @@ the serial loop's cap ``break`` skips never probes MaxPages, so it can
 neither burn a budget slot nor latch the crawl).  This closed the
 round-1 denied-redirect-child and recrawl-cap-breaker corners and the
 round-2 window-denied-redirect-child and cap+budget-both-tight corners
-(shaped 10-seed collision sweeps green —
-``test_fuzz_parity.py::test_shaped_collision_parity``).  What remains:
+(shaped collision sweeps green: the 10 pytest seeds of
+``test_fuzz_parity.py::test_shaped_collision_parity`` plus a 60-seed
+offline sweep of the same generator, 70/70 exact order+set parity).
+What remains:
 - a >=3-deep same-wave interaction where the refinement pass's change
   to the second occurrence (dedup mark, budget slot, or cap break
   position) would flip a third (the pass runs once, not to fixpoint).
