@@ -269,19 +269,23 @@ def q_crawl_redirect_resolve(spark, sf_dir):
         "url", F.col("doc_id").alias("cur_id"),
         F.col("is_redirect").alias("cur_redirect"),
         F.lit(0).alias("hops"), F.lit(False).alias("dangling"))
+    # each hop references ``cur`` exactly ONCE (a guarded left join over
+    # all rows, stepping only where still open) — a split-and-union
+    # formulation references it twice per hop, doubling the plan per
+    # iteration (2^hops copies of the scan by hop 7)
     for _ in range(CFG.http_request_max_auto_redirects):
-        pending = cur.filter(F.col("cur_redirect") & ~F.col("dangling"))
-        done = cur.filter(~F.col("cur_redirect") | F.col("dangling"))
-        stepped = pending.join(
-            tgt, pending["cur_id"] + 1 == tgt["t_id"], "left"
-        ).select(
+        stepping = F.col("cur_redirect") & ~F.col("dangling")
+        cur = cur.join(tgt, cur["cur_id"] + 1 == tgt["t_id"], "left").select(
             "url",
-            F.coalesce(F.col("t_id"), F.col("cur_id")).alias("cur_id"),
-            F.coalesce("t_redirect", F.lit(False)).alias("cur_redirect"),
-            (F.col("hops") + 1).alias("hops"),
-            F.col("t_id").isNull().alias("dangling"),
+            F.when(stepping, F.coalesce(F.col("t_id"), F.col("cur_id")))
+            .otherwise(F.col("cur_id")).alias("cur_id"),
+            F.when(stepping, F.coalesce("t_redirect", F.lit(False)))
+            .otherwise(F.col("cur_redirect")).alias("cur_redirect"),
+            F.when(stepping, F.col("hops") + 1)
+            .otherwise(F.col("hops")).alias("hops"),
+            F.when(stepping, F.col("t_id").isNull())
+            .otherwise(F.col("dangling")).alias("dangling"),
         )
-        cur = done.unionByName(stepped)
     return cur.select(
         "url", F.col("cur_id").alias("final_doc_id"),
         F.col("hops").cast("int").alias("hops"), "dangling",

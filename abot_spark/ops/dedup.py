@@ -140,14 +140,35 @@ def minhash_bands(documents: DataFrame, k: int = 8, bands: int = 4,
 
 def minhash_candidate_pairs(documents: DataFrame, k: int = 8,
                             bands: int = 4, shingle_n: int = 3) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing any LSH band bucket."""
+    """Distinct (doc_a < doc_b) pairs sharing any LSH band bucket.
+
+    Single pass over the signatures: one groupBy((band, band_key)) into a
+    sorted member array, pairs expanded JVM-side from the array (x before
+    y in the sorted array ⇒ doc_a < doc_b by construction).  A band-key
+    SELF-JOIN would reference the signature lineage twice — at corpus
+    scale that MD5s every shingle of every document twice; here the
+    signatures are computed once and shuffle once.  Per-bucket fan-out is
+    |bucket|²/2 either way (LSH bucket sizes, not the plan, bound it).
+    """
     b = minhash_bands(documents, k, bands, shingle_n)
-    left = b.select("band", "band_key", F.col("doc_id").alias("doc_a"))
-    right = b.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    buckets = b.groupBy("band", "band_key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("_ds"))
+    ds = F.col("_ds")
+    # named_struct, not struct(): alias-derived field names are
+    # re-resolved to col1/col2 when a generator (the explode) shares the
+    # Project — explicit names are immune
+    pairs = F.flatten(F.transform(
+        ds,
+        lambda x, i: F.transform(
+            F.slice(ds, i + F.lit(2),
+                    F.greatest(F.size(ds) - i - F.lit(1), F.lit(0))),
+            lambda y: F.named_struct(
+                F.lit("doc_a"), x, F.lit("doc_b"), y))))
     return (
-        left.join(right, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+        buckets.select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.doc_a").alias("doc_a"),
+                F.col("_p.doc_b").alias("doc_b"))
+        .distinct()
     )
 
 

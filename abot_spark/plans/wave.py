@@ -61,7 +61,8 @@ round-1 denied-redirect-child and recrawl-cap-breaker corners and the
 round-2 window-denied-redirect-child and cap+budget-both-tight corners
 (shaped collision sweeps green: the 10 pytest seeds of
 ``test_fuzz_parity.py::test_shaped_collision_parity`` plus a 60-seed
-offline sweep of the same generator, 70/70 exact order+set parity).
+offline sweep of the same generator and a 30-seed sweep with
+recrawling forced on — 100/100 exact order+set parity).
 What remains:
 - a >=3-deep same-wave interaction where the refinement pass's change
   to the second occurrence (dedup mark, budget slot, or cap break
