@@ -106,6 +106,21 @@ class CrawlConfig:
                                       # two-phase bucketed rank
                                       # (plans/wave.py:domain_quota_rank);
                                       # 0 = always plain
+    dedup_refinement_passes: int = 2  # total _decision_chain passes when a
+                                      # marking-dependent config (link cap /
+                                      # budget / domain cap / user page gate)
+                                      # is active: pass r re-derives the
+                                      # in-wave dedup column from pass r-1's
+                                      # EXACT marks and budget-consumes only
+                                      # pass-r-1-iterated links.  2 is exact
+                                      # for every case the 100-seed shaped
+                                      # collision sweeps reach; raise to
+                                      # push >=3-deep same-wave interaction
+                                      # chains toward the serial fixpoint
+                                      # (each extra pass costs one chain
+                                      # re-run on the wave's candidates);
+                                      # 1 = row-local marks only (the
+                                      # pre-round-3 corners come back)
     fetch_missing_broadcast_rows: int = 1_000_000  # due-wave rows up to which
                                       # the corpus-miss anti-join broadcasts
                                       # the fetched-url set (urls only, so

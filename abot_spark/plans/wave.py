@@ -1003,11 +1003,16 @@ def schedule_wave(
                       "pre_eligible", "_rn", "_bdelta", "budget_denied",
                       "admitted", "iterated", "_cap_breaker",
                       "_out_seen_add", "_user_denied_evt", "_out_disallowed"]
-        base2 = cand.withColumn("_iter_prev", F.col("iterated")) \
-            .drop(*[c for c in chain_cols if c in cand.columns])
-        cand = _decision_chain(
-            with_dup(base2, F.col("_marks")).drop("_marks"))
-        cand = cand.drop("_iter_prev")
+        # cfg.dedup_refinement_passes - 1 refinement re-runs (default 1):
+        # each re-derives dedup + budget from the previous pass's exact
+        # marks/iteration, stepping >=3-deep interaction chains one link
+        # closer to the serial fixpoint per extra pass
+        for _ in range(max(cfg.dedup_refinement_passes - 1, 0)):
+            base2 = cand.withColumn("_iter_prev", F.col("iterated")) \
+                .drop(*[c for c in chain_cols if c in cand.columns])
+            cand = _decision_chain(
+                with_dup(base2, F.col("_marks")).drop("_marks"))
+            cand = cand.drop("_iter_prev")
 
     # several downstream consumers (admitted / seen_add / disallowed /
     # latch probe) — materialize once

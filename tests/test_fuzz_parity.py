@@ -280,3 +280,31 @@ def test_shaped_collision_parity(spark, seed):
         f"seed={seed} cfg={cfg} order mismatch")
     assert {(r["url"], r["status_code"]) for r in rows} == {
         (e.url, e.status_code) for e in serial.crawled}, f"seed={seed}"
+
+
+def test_refinement_passes_knob(spark):
+    """``dedup_refinement_passes`` controls the marking-refinement depth:
+    1 reproduces the pre-refinement corner (shaped seed 66: a capped
+    page's cut links spuriously consume budget and latch the crawl one
+    wave early), while 2 and 3 both match the serial oracle exactly
+    (the shaped sweeps found no case needing more than 2)."""
+    rng = random.Random(66)
+    fx, doms = _shaped_collision_fixture(rng)
+    base_cfg = _shaped_config(rng)
+    serial = SerialCrawler(fx, base_cfg).crawl(doms[0] + "/")
+    paths = write_parquet(fx, tempfile.mkdtemp(prefix="abot-knob-web-"))
+    pages = spark.read.parquet(paths["pages"])
+
+    def run(passes):
+        c = WaveCrawler(spark,
+                        base_cfg.with_(dedup_refinement_passes=passes),
+                        tempfile.mkdtemp(prefix="abot-knob-crawl-"),
+                        pages, None)
+        st = c.crawl([doms[0] + "/"], max_waves=40)
+        f = c.store.read_all("fetched", st.wave)
+        return [r["url"] for r in f.orderBy("seq").collect()] \
+            if f is not None else []
+
+    assert run(1) != serial.crawl_order   # corner reproduced
+    assert run(2) == serial.crawl_order
+    assert run(3) == serial.crawl_order   # extra pass is a no-op here
