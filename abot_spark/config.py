@@ -121,12 +121,36 @@ class CrawlConfig:
                                       # re-run on the wave's candidates);
                                       # 1 = row-local marks only (the
                                       # pre-round-3 corners come back)
+    dedup_refinement_max_passes: int = 16  # fixpoint bound: when the final
+                                      # refinement pass reports unstable
+                                      # marks (_refine_changed — read free
+                                      # off the admission aggregate), the
+                                      # wave re-plans with one more pass,
+                                      # up to this many.  The chain is a
+                                      # causal Jacobi iteration, so it
+                                      # converges in <= the longest same-
+                                      # wave collision chain; 16 covers
+                                      # any plausible wave (the 100-seed
+                                      # shaped sweeps never need >2).
     fetch_missing_broadcast_rows: int = 1_000_000  # due-wave rows up to which
                                       # the corpus-miss anti-join broadcasts
                                       # the fetched-url set (urls only, so
                                       # ~100 B/row -> <=100 MB build); above,
                                       # no hint — AQE picks shuffle vs
                                       # broadcast from the real measured size
+    link_cap_broadcast_rows: int = 1_000_000  # due-wave rows up to which the
+                                      # link-cap pass broadcasts its break_pos
+                                      # map (one (long,long) row per capped
+                                      # parent, bounded by the wave's page
+                                      # count); above, no hint — AQE decides
+                                      # from the real aggregate size.  Same
+                                      # gate pattern as fetch_missing.
+    domain_cap_broadcast_rows: int = 1_000_000  # admitted-pages-ever bound up
+                                      # to which the domain-cap pass
+                                      # broadcasts the prior CrawlCountByDomain
+                                      # snapshot (one row per domain ever
+                                      # crawled <= pages ever admitted);
+                                      # above, plain join — AQE decides.
     shuffle_partitions: int = 0       # 0 = inherit spark.sql.shuffle.partitions
     arrow_max_records_per_batch: int = 512  # UDF batch rows; default sized
                                       # for MB-scale html cells — raise for

@@ -332,6 +332,37 @@ class WaveCrawler:
         self._prepare(state)
         return self._loop(state, max_waves)  # _loop starts at state.wave + 1
 
+    def _schedule_to_fixpoint(self, agg_exprs: list, sched_kwargs: dict):
+        """Run ``schedule_wave`` + its cache-materializing admission
+        aggregate, re-planning with one extra refinement pass while the
+        final pass reports unstable marks (``_refine_changed``).
+
+        The decision chain is a Jacobi iteration of a strictly causal
+        system (every row depends only on strictly-earlier rows' marks),
+        so a stable pass IS the serial solution — the stability bit rides
+        the aggregate the wave loop already runs, making the common case
+        (stable at the default 2 passes; every shaped sweep to date) free.
+        A genuinely >=3-deep same-wave collision chain triggers a full
+        re-plan per extra pass — rare and bounded by
+        ``cfg.dedup_refinement_max_passes``.  Returns ``(sched, crow)``.
+        """
+        cfg = self.cfg
+        passes = cfg.dedup_refinement_passes
+        rc_agg = F.max(F.col("_refine_changed").cast("int")).alias("_rc")
+        while True:
+            sched = W.schedule_wave(
+                **sched_kwargs, refinement_passes=passes)
+            if sched["cand_base"] is not None:
+                sched["cand_base"].count()  # fill before the plan forks
+            crow = sched["cand_cache"].agg(*agg_exprs, rc_agg).first()
+            if not crow["_rc"] or passes >= cfg.dedup_refinement_max_passes:
+                return sched, crow
+            # unstable: discard this plan's caches and go one pass deeper
+            sched["cand_cache"].unpersist()
+            if sched["cand_base"] is not None:
+                sched["cand_base"].unpersist()
+            passes += 1
+
     # -- seen-set bloom sidecar ---------------------------------------------
 
     def _bloom_arg(self):
@@ -430,28 +461,31 @@ class WaveCrawler:
 
         empty_events = self.spark.createDataFrame(
             [], "seq long, domain string, is_retry boolean")
-        sched = W.schedule_wave(
-            cand, None, empty_events, None, None, self._robots_rules,
-            cfg, budget_used=state.budget_used, next_seq=0,
-            latched=False,
-            user_page_predicate=self._hook(self.user_page_predicate),
-            root_authorities=self._root_authorities(state),
-            wave_ts_ms=0, num_partitions=self._nparts,
-            # seed candidates share parent_seq=0/kind=1; the order is pos,
-            # whose range is known exactly — computed buckets, no sampling
-            seq_range_hint=("pos", 0, len(rows)),
-            direct_add=True,  # seeds: Scheduler.Add only, no AddKnownUri
-        )
+        # one cache-materializing aggregate: admitted count (= frontier 0
+        # rows; no retries/deferrals exist at seed time) + A3 latch probe +
+        # the refinement-stability bit (fixpoint re-plan when unstable)
+        sched, crow = self._schedule_to_fixpoint(
+            [F.sum(F.col("admitted").cast("int")).alias("n"),
+             F.sum(F.col("_out_seen_add").cast("int")).alias("n_sa"),
+             F.max(F.col("budget_denied").cast("int")).alias("bd")],
+            dict(
+                candidates=cand, retries=None, frontier_events=empty_events,
+                seen=None, prior_counts=None,
+                robots_rules=self._robots_rules,
+                cfg=cfg, budget_used=state.budget_used, next_seq=0,
+                latched=False,
+                user_page_predicate=self._hook(self.user_page_predicate),
+                root_authorities=self._root_authorities(state),
+                wave_ts_ms=0, num_partitions=self._nparts,
+                # seed candidates share parent_seq=0/kind=1; the order is
+                # pos, whose range is known exactly — computed buckets
+                seq_range_hint=("pos", 0, len(rows)),
+                direct_add=True,  # seeds: Scheduler.Add only, no AddKnownUri
+                n_wave_hint=len(rows),  # seed pass: trivially broadcastable
+                n_domains_hint=0,       # no prior counts at seed time
+            ))
         frontier0 = sched["admitted"].withColumn("is_root", F.lit(True)) \
             .withColumn("wave", F.lit(0))
-        # one cache-materializing aggregate: admitted count (= frontier 0
-        # rows; no retries/deferrals exist at seed time) + A3 latch probe
-        if sched["cand_base"] is not None:
-            sched["cand_base"].count()  # fill the base before the plan forks
-        crow = sched["cand_cache"].agg(
-            F.sum(F.col("admitted").cast("int")).alias("n"),
-            F.sum(F.col("_out_seen_add").cast("int")).alias("n_sa"),
-            F.max(F.col("budget_denied").cast("int")).alias("bd")).first()
         n = int(crow["n"] or 0)
         state.seen_count = int(crow["n_sa"] or 0)
         out_parts = self._nparts if n >= 2000 else 2
@@ -733,43 +767,49 @@ class WaveCrawler:
         events = extracted.select("seq", "domain", "is_retry")
         seen = self.store.read_all("seen", w)
 
-        sched = W.schedule_wave(
-            candidates, retries, events, seen,
-            prior_counts,
-            self._robots_rules if not state.robots_dropped else None,
-            cfg,
-            budget_used=state.budget_used,
-            next_seq=state.next_seq,
-            latched=state.latched,
-            root_authorities=self._root_authorities(state),
-            wave_ts_ms=wave_ts + wave_elapsed_ms,
-            num_partitions=self._nparts,
-            user_link_predicate=self._hook(self.user_link_predicate),
-            user_page_predicate=self._hook(self.user_page_predicate),
-            seen_bloom=self._bloom_arg(),
-            seq_range_hint=seq_hint,
-        )
-
         _tick("schedule_build")
         # scheduling outputs belong to the wave they feed: frontier/seen/
         # disallowed land under wave=w+1 (the seed pass owns wave=0).
-        # materialize the candidate base FIRST: the admission plan forks
-        # into sibling stages (bloom maybe/fresh, known/fresh) that would
-        # otherwise race to fill the cache concurrently, re-running the
-        # link UDF per branch for the same partitions
-        if sched["cand_base"] is not None:
-            sched["cand_base"].count()
-        _tick("cand_base_ckpt")
-        # ONE aggregate materializes the decided cache and reads off the A3
-        # latch plus every output's row count — the counts let each
+        # _schedule_to_fixpoint materializes the candidate base FIRST (the
+        # admission plan forks into sibling stages — bloom maybe/fresh,
+        # known/fresh — that would otherwise race to fill the cache
+        # concurrently, re-running the link UDF per branch), then runs ONE
+        # aggregate that materializes the decided cache and reads off the
+        # A3 latch plus every output's row count — the counts let each
         # downstream write skip its full-cache scan when its output is
-        # empty, and let seq assignment pick the volume-appropriate plan
-        crow = sched["cand_cache"].agg(
-            F.max(F.col("budget_denied").cast("int")).alias("bd"),
-            F.sum(F.col("admitted").cast("int")).alias("n_adm"),
-            F.sum(F.col("_out_seen_add").cast("int")).alias("n_sa"),
-            F.sum(F.col("_out_disallowed").cast("int")).alias("n_dis"),
-        ).first()
+        # empty, and let seq assignment pick the volume-appropriate plan.
+        # The refinement-stability bit rides the same aggregate; an
+        # unstable wave (>=3-deep same-wave collision chain) re-plans with
+        # one more refinement pass until the marks are a fixpoint.
+        sched, crow = self._schedule_to_fixpoint(
+            [F.max(F.col("budget_denied").cast("int")).alias("bd"),
+             F.sum(F.col("admitted").cast("int")).alias("n_adm"),
+             F.sum(F.col("_out_seen_add").cast("int")).alias("n_sa"),
+             F.sum(F.col("_out_disallowed").cast("int")).alias("n_dis")],
+            dict(
+                candidates=candidates, retries=retries,
+                frontier_events=events, seen=seen,
+                prior_counts=prior_counts,
+                robots_rules=(self._robots_rules
+                              if not state.robots_dropped else None),
+                cfg=cfg,
+                budget_used=state.budget_used,
+                next_seq=state.next_seq,
+                latched=state.latched,
+                root_authorities=self._root_authorities(state),
+                wave_ts_ms=wave_ts + wave_elapsed_ms,
+                num_partitions=self._nparts,
+                user_link_predicate=self._hook(self.user_link_predicate),
+                user_page_predicate=self._hook(self.user_page_predicate),
+                seen_bloom=self._bloom_arg(),
+                seq_range_hint=seq_hint,
+                # broadcast gates (wave-proportional aggregates): due-wave
+                # rows bound break_pos; pages-ever-admitted bounds the
+                # domain snapshot
+                n_wave_hint=int(d_row["n"]) if d_row else 0,
+                n_domains_hint=state.next_seq,
+            ))
+        _tick("cand_base_ckpt")
         any_budget_denial = bool(crow["bd"])
         n_adm = int(crow["n_adm"] or 0)
         n_seen_add = int(crow["n_sa"] or 0)

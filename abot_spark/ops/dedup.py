@@ -151,8 +151,11 @@ def minhash_candidate_pairs(documents: DataFrame, k: int = 8,
     |bucket|²/2 either way (LSH bucket sizes, not the plan, bound it).
     """
     b = minhash_bands(documents, k, bands, shingle_n)
+    # array_distinct: a duplicated doc_id input row would otherwise repeat
+    # inside the sorted member array and the strictly-after slice expansion
+    # would emit (a, a) self-pairs (the invariant is x strictly before y)
     buckets = b.groupBy("band", "band_key").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("_ds"))
+        F.array_distinct(F.sort_array(F.collect_list("doc_id"))).alias("_ds"))
     ds = F.col("_ds")
     # named_struct, not struct(): alias-derived field names are
     # re-resolved to col1/col2 when a generator (the explode) shares the
@@ -317,8 +320,12 @@ def duplicate_clusters(documents: DataFrame, pairs: DataFrame | None = None,
     # the corpus, so the label table (and every per-round checkpoint) is
     # |near-dup docs|, not |corpus|; untouched docs join back as their
     # own singleton cluster at the end without ever entering the loop
+    # non-eager checkpoint + the convergence aggregate = ONE job per round
+    # (VERDICT r3 #6): the lazy localCheckpoint materializes (and truncates
+    # lineage) inside the same action that reads the label sum, instead of
+    # a checkpoint job followed by a separate 1-row aggregate job
     labels = edges.select(F.col("src").alias("doc_id")).distinct() \
-        .withColumn("label", F.col("doc_id")).localCheckpoint()
+        .withColumn("label", F.col("doc_id")).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0] or 0
 
     converged = False
@@ -339,7 +346,8 @@ def duplicate_clusters(documents: DataFrame, pairs: DataFrame | None = None,
         # the same plan node); ``localCheckpoint`` truncates the iterative
         # lineage so round r's plan doesn't embed rounds 0..r-1 (a reliable
         # ``checkpoint(dir)`` is the drop-in for a fault-tolerant cluster
-        # run).
+        # run), non-eager so it materializes inside the convergence-sum
+        # action below — one job per round, not two.
         jump_map = stepped.select(F.col("doc_id").alias("label"),
                                   F.col("label").alias("_ll"))
         jumped = (
@@ -347,7 +355,7 @@ def duplicate_clusters(documents: DataFrame, pairs: DataFrame | None = None,
             .select("doc_id",
                     F.least(F.col("label"),
                             F.coalesce("_ll", F.col("label"))).alias("label")))
-        new_labels = jumped.localCheckpoint()
+        new_labels = jumped.localCheckpoint(eager=False)
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0] or 0
         labels = new_labels
         if new_sum == prev_sum:

@@ -326,6 +326,11 @@ def ngram_topk(documents: DataFrame, n: int = 2, k: int = 10,
     they ARE the vocabulary (Zipf tail), so the filter shrinks the
     ranked set by orders of magnitude.
 
+    .. note:: **Changed** (round 3): ``min_docs`` default went 1 → 2, so
+       default-arg callers no longer see singleton n-grams in the ranked
+       output (a corpus whose every n-gram is unique now ranks nothing).
+       Pass ``min_docs=1`` for the old exhaustive behavior.
+
     Scale notes (100 TB corpus): explode → one partial-aggregated
     groupBy((lang, ngram)) → ``n_docs >= min_docs`` tail drop → a
     TWO-PHASE top-k so no single task ever sorts a language's whole

@@ -34,6 +34,7 @@ is exactly what ``extract_wave`` consumes — the stage is a drop-in for
 from __future__ import annotations
 
 import time
+from collections import OrderedDict
 from typing import Callable
 
 import pandas as pd
@@ -67,8 +68,26 @@ FETCHER_FIELDS = ("status_code", "content_type", "html", "retry_after",
 #: per-worker-process cookie jars, keyed by HttpFetcher._jar_key — the
 #: jar itself never pickles (CookieJar holds an RLock); each worker
 #: process that deserializes a fetcher lazily materializes its own jar
-#: here and keeps it across tasks and waves (see HttpFetcher docstring)
-_COOKIE_JARS: dict = {}
+#: here and keeps it across tasks and waves (see HttpFetcher docstring).
+#: LRU-bounded: every HttpFetcher ever constructed mints a fresh key, so
+#: an unbounded dict leaks one jar per fetcher in long-lived reused
+#: workers (multiple crawls/sessions per process).  One crawl uses one
+#: fetcher, so the cap only ever evicts jars of finished crawls; an
+#: evicted-but-live jar just restarts that fetcher's session — the same
+#: fresh-session semantics as a worker restart.
+_COOKIE_JARS: OrderedDict = OrderedDict()
+_COOKIE_JARS_MAX = 64
+
+
+def _cookie_jar(key: str):
+    jar = _COOKIE_JARS.get(key)
+    if jar is None:
+        from http.cookiejar import CookieJar
+        jar = _COOKIE_JARS.setdefault(key, CookieJar())
+    _COOKIE_JARS.move_to_end(key)
+    while len(_COOKIE_JARS) > _COOKIE_JARS_MAX:
+        _COOKIE_JARS.popitem(last=False)
+    return jar
 
 
 class HttpFetcher:
@@ -126,11 +145,8 @@ class HttpFetcher:
 
         handlers = [] if self.auto_redirect else [_NoRedirect()]
         if self.send_cookies:
-            jar = _COOKIE_JARS.get(self._jar_key)
-            if jar is None:
-                from http.cookiejar import CookieJar
-                jar = _COOKIE_JARS.setdefault(self._jar_key, CookieJar())
-            handlers.append(urllib.request.HTTPCookieProcessor(jar))
+            handlers.append(
+                urllib.request.HTTPCookieProcessor(_cookie_jar(self._jar_key)))
         return handlers
 
     def __call__(self, url: str) -> dict:

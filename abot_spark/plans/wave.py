@@ -63,10 +63,20 @@ round-2 window-denied-redirect-child and cap+budget-both-tight corners
 ``test_fuzz_parity.py::test_shaped_collision_parity`` plus a 60-seed
 offline sweep of the same generator and a 30-seed sweep with
 recrawling forced on — 100/100 exact order+set parity).
-What remains:
-- a >=3-deep same-wave interaction where the refinement pass's change
-  to the second occurrence (dedup mark, budget slot, or cap break
-  position) would flip a third (the pass runs once, not to fixpoint).
+
+Round 4 closed the last residual (the >=3-deep same-wave interaction
+chain): the refinement now runs to a VERIFIED fixpoint.  The chain is a
+Jacobi iteration of a strictly causal system — each row's decision
+depends only on strictly-earlier rows' marks — so any fixpoint equals
+the serial solution (induction over serial order), and the final pass
+carries a ``_refine_changed`` stability bit that the wave loop reads
+for free off its existing admission aggregate.  A stable pass (every
+sweep to date stabilizes at the default 2 passes) costs nothing extra;
+an unstable wave re-plans with one more pass, bounded by
+``cfg.dedup_refinement_max_passes`` (convergence needs at most the
+longest same-wave collision chain's depth).  The stability check means
+the engine *knows* when a wave's decisions are serial-exact rather
+than assuming it.
 """
 
 from __future__ import annotations
@@ -623,6 +633,14 @@ def schedule_wave(
     seq_range_hint: tuple[str, int, int] | None = None,
     direct_add: bool = False,  # candidates enter via Scheduler.Add only
                                # (seeds/sitemap items), no AddKnownUri loop
+    n_wave_hint: int | None = None,     # due-wave processed rows: upper bound
+                                        # on break_pos (one row per capped
+                                        # parent page) — gates its broadcast
+    n_domains_hint: int | None = None,  # upper bound on prior_counts rows
+                                        # (pages ever admitted >= domains ever
+                                        # crawled) — gates its broadcast
+    refinement_passes: int | None = None,  # override cfg.dedup_refinement_
+                                        # passes (the fixpoint re-run path)
 ) -> dict:
     """``SchedulePageLinks`` (``WebCrawler.cs:1109-1155``) + the decision
     pipeline as one declarative plan.  Returns dict with:
@@ -825,10 +843,21 @@ def schedule_wave(
                 .select("url_hash", *ORD, "_dom_cnt")
             cand = cand.join(probe_counts, ["url_hash", *ORD], "left")
             if prior_counts is not None:
-                # prior waves' CrawlCountByDomain snapshot: tiny (one row per
-                # domain) -> broadcast join
+                # prior waves' CrawlCountByDomain snapshot: one row per domain
+                # EVER crawled — wave-cumulative, not tiny on a broad crawl
+                # (10^7-10^8 domains => a multi-GB build on every executor).
+                # Broadcast only while the admitted-pages-ever bound (>= the
+                # domain count) is under the configured threshold; above it,
+                # no hint — AQE picks broadcast vs shuffle from the real
+                # runtime size (the session's 256 MB autoBroadcastJoinThreshold
+                # caps what it may still broadcast, so a genuinely large
+                # snapshot shuffles).  Same gate pattern as fetch_missing.
+                prior = prior_counts.withColumnRenamed("cnt", "_prior")
+                if (n_domains_hint is not None
+                        and n_domains_hint <= cfg.domain_cap_broadcast_rows):
+                    prior = F.broadcast(prior)
                 cand = cand.join(
-                    F.broadcast(prior_counts.withColumnRenamed("cnt", "_prior")),
+                    prior,
                     "domain", "left",
                 ).withColumn(
                     "_dom_cnt", F.col("_dom_cnt") + F.coalesce("_prior", F.lit(0))
@@ -916,7 +945,18 @@ def schedule_wave(
                 (F.col("kind") == 1) & F.col("admitted")
                 & (F.col("_srank") == cfg.max_links_per_page)
             ).groupBy("parent_seq").agg(F.min("pos").alias("_break_pos"))
-            cand = cand.join(F.broadcast(break_pos), "parent_seq", "left") \
+            # break_pos is one row per parent page that hit MaxLinksPerPage
+            # this wave — bounded by the wave's page count, so it is
+            # WAVE-proportional (10^7-10^8 rows at production waves).
+            # Broadcast only while the due-wave row count is under the
+            # configured threshold; above it, no hint — AQE sees the real
+            # aggregate size at runtime (the 256 MB session
+            # autoBroadcastJoinThreshold bounds what it may still broadcast,
+            # so a genuinely large map shuffles on parent_seq instead).
+            if (n_wave_hint is not None
+                    and n_wave_hint <= cfg.link_cap_broadcast_rows):
+                break_pos = F.broadcast(break_pos)
+            cand = cand.join(break_pos, "parent_seq", "left") \
                 .withColumn(
                     "iterated",
                     (F.col("kind") != 1) | F.col("_break_pos").isNull()
@@ -1003,16 +1043,36 @@ def schedule_wave(
                       "pre_eligible", "_rn", "_bdelta", "budget_denied",
                       "admitted", "iterated", "_cap_breaker",
                       "_out_seen_add", "_user_denied_evt", "_out_disallowed"]
-        # cfg.dedup_refinement_passes - 1 refinement re-runs (default 1):
-        # each re-derives dedup + budget from the previous pass's exact
-        # marks/iteration, stepping >=3-deep interaction chains one link
-        # closer to the serial fixpoint per extra pass
-        for _ in range(max(cfg.dedup_refinement_passes - 1, 0)):
+        # ``refinement_passes`` (default cfg.dedup_refinement_passes) - 1
+        # lazy refinement re-runs: each re-derives dedup + budget from the
+        # previous pass's exact marks/iteration.  The chain is a Jacobi
+        # iteration of a strictly CAUSAL system — every row's decision
+        # depends only on strictly-earlier rows' marks (the dedup window is
+        # ``rowsBetween(unboundedPreceding, -1)``, the budget sum cumulative
+        # over earlier rows) — so ANY fixpoint is THE serial solution
+        # (induction over serial order: row 1 uses no prior marks; row i
+        # uses earlier rows' marks, correct by induction).  The final pass
+        # therefore carries ``_refine_changed`` = (its marks or iteration
+        # differ from the pass it consumed); the caller reads
+        # ``max(_refine_changed)`` off its existing admission aggregate
+        # (zero extra actions) and re-runs with more passes in the rare
+        # unstable case — see WaveCrawler._schedule_to_fixpoint.
+        n_passes = (refinement_passes if refinement_passes is not None
+                    else cfg.dedup_refinement_passes)
+        for _ in range(max(n_passes - 1, 0)):
             base2 = cand.withColumn("_iter_prev", F.col("iterated")) \
+                .withColumnRenamed("_marks", "_marks_prev") \
                 .drop(*[c for c in chain_cols if c in cand.columns])
-            cand = _decision_chain(
-                with_dup(base2, F.col("_marks")).drop("_marks"))
-            cand = cand.drop("_iter_prev")
+            cand = _decision_chain(with_dup(base2, F.col("_marks_prev")))
+            cand = cand.withColumn(
+                "_refine_changed",   # null-safe: a null mark is a state too
+                ~F.col("_marks").eqNullSafe(F.col("_marks_prev"))
+                | ~F.col("iterated").eqNullSafe(F.col("_iter_prev")))
+            cand = cand.drop("_iter_prev", "_marks_prev")
+    if "_refine_changed" not in cand.columns:
+        # single-pass runs (no refinement config, or passes=1 opt-out):
+        # nothing to stabilize against — the caller must not re-run
+        cand = cand.withColumn("_refine_changed", F.lit(False))
 
     # several downstream consumers (admitted / seen_add / disallowed /
     # latch probe) — materialize once

@@ -385,8 +385,20 @@ class BloomSeenShards:
             if prev is not None or any(
                     n.startswith(("bucket=", "_absorbed_wave="))
                     for n in os.listdir(base_dir)):
-                shutil.rmtree(base_dir, ignore_errors=True)
+                # strict wipe: a partially-failed removal (transient EBUSY)
+                # followed by _write_meta would record the NEW layout next
+                # to surviving OLD-layout bucket files — re-enabling exactly
+                # the false-negative probe path this guard exists to stop.
+                # So no ignore_errors, and verify nothing survived before
+                # stamping the new layout.
+                shutil.rmtree(base_dir)
                 os.makedirs(base_dir, exist_ok=True)
+                leftovers = [n for n in os.listdir(base_dir)
+                             if n.startswith(("bucket=", "_absorbed_wave="))]
+                if leftovers:
+                    raise RuntimeError(
+                        f"bloom sidecar layout wipe left stale entries in "
+                        f"{base_dir}: {leftovers[:5]}")
             self._write_meta()
 
     def _write_meta(self) -> None:

@@ -84,3 +84,39 @@ def test_seen_compaction_preserves_set_and_prunes(spark, tmp_path):
     assert not os.path.exists(store.compact_path("seen", 9))
     assert not os.path.exists(store.compact_path("seen", 9) + ".tmp")
     assert os.path.exists(store.compact_path("seen", 3))
+
+
+def test_bucketed_seen_antijoin_has_no_exchange(spark, tmp_path):
+    """Plan guard for the SURVEY §4 storage-partitioned seen probe
+    (VERDICT r3 #4): when the accumulated seen table and the wave's
+    candidate hashes are bucketed identically on url_hash, the LEFT ANTI
+    membership probe plans with ZERO Exchange operators — bucket i
+    anti-joins bucket i file-locally, nothing shuffles at any scale.
+    tools/explain_bucketed_antijoin.py is the at-volume witness."""
+    from pyspark.sql import functions as F
+
+    prev_wh = spark.conf.get("spark.sql.warehouse.dir", None)
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        seen = spark.range(500).select(
+            F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+        cand = spark.range(200).select(
+            F.xxhash64((F.col("id") + 400).cast("string")).alias("url_hash"))
+        spark.sql("DROP TABLE IF EXISTS _t_seen_b")
+        spark.sql("DROP TABLE IF EXISTS _t_cand_b")
+        seen.write.bucketBy(4, "url_hash").sortBy("url_hash") \
+            .mode("overwrite").saveAsTable("_t_seen_b")
+        cand.write.bucketBy(4, "url_hash").sortBy("url_hash") \
+            .mode("overwrite").saveAsTable("_t_cand_b")
+        anti = spark.table("_t_cand_b").join(
+            spark.table("_t_seen_b"), "url_hash", "left_anti")
+        plan = anti._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert plan.count("Bucketed: true") == 2, plan
+        # and it computes the right thing: ids 400..499 are in both
+        assert anti.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql("DROP TABLE IF EXISTS _t_seen_b")
+        spark.sql("DROP TABLE IF EXISTS _t_cand_b")
