@@ -78,6 +78,9 @@ class WaveCrawler:
         self.store = CrawlStore(spark, work_dir)
         self.pages = pages
         self.robots_df = robots
+        #: waves that reported unstable refinement marks and re-planned
+        #: with one more pass (the dedup fixpoint loop) — diagnostics
+        self.refine_replans = 0
         self._corpus: DataFrame | None = None
         self._corpus_future = None
         self._robots_rules: DataFrame | None = None
@@ -362,6 +365,7 @@ class WaveCrawler:
             if sched["cand_base"] is not None:
                 sched["cand_base"].unpersist()
             passes += 1
+            self.refine_replans += 1  # observable (pytest + post-mortems)
 
     # -- seen-set bloom sidecar ---------------------------------------------
 
@@ -467,6 +471,7 @@ class WaveCrawler:
         sched, crow = self._schedule_to_fixpoint(
             [F.sum(F.col("admitted").cast("int")).alias("n"),
              F.sum(F.col("_out_seen_add").cast("int")).alias("n_sa"),
+             F.sum(F.col("_out_disallowed").cast("int")).alias("n_dis"),
              F.max(F.col("budget_denied").cast("int")).alias("bd")],
             dict(
                 candidates=cand, retries=None, frontier_events=empty_events,
@@ -496,13 +501,18 @@ class WaveCrawler:
                             frontier0.select(
                                 [f.name for f in FRONTIER_SCHEMA.fields])
                             .coalesce(out_parts)),
-                pool.submit(self.store.write_wave, "seen", 0,
-                            sched["seen_add"].coalesce(out_parts)),
-                pool.submit(self.store.write_wave, "disallowed", 0,
-                            sched["disallowed"].coalesce(out_parts)),
                 pool.submit(self._absorb_seen_wave, 0, sched["seen_add"],
                             None, state.seen_count),
             ]
+            # empty outputs skip the write (read_all tolerates the gap)
+            if state.seen_count:
+                futs.append(pool.submit(
+                    self.store.write_wave, "seen", 0,
+                    sched["seen_add"].coalesce(out_parts)))
+            if int(crow["n_dis"] or 0):
+                futs.append(pool.submit(
+                    self.store.write_wave, "disallowed", 0,
+                    sched["disallowed"].coalesce(out_parts)))
             for f in futs:
                 f.result()
         sched["cand_cache"].unpersist(False)
@@ -637,21 +647,16 @@ class WaveCrawler:
         due, deferred, stats_df = self._politeness_split(
             frontier, delays, wave_ts,
             n_frontier=state.frontier_next, seq_hi=state.next_seq)
-        stats = {r["_due"]: r for r in stats_df.collect()}
-        d_row = stats.get(True)
-        n_processed = (d_row["n"] - (d_row["n_retry"] or 0)) if d_row else 0
-        n_retried = (d_row["n_retry"] or 0) if d_row else 0
-        wave_elapsed_ms = int(d_row["elapsed_ms"] or 0) if d_row else 0
-        n_deferred = stats[False]["n"] if False in stats else 0
-        if n_deferred == 0:
-            deferred = None
-        # due rows' seq range: candidates' parent_seq (links, redirect
-        # children, retries alike) falls inside it, so seq assignment can
-        # compute its range buckets instead of sampling (one shuffle)
-        seq_hint = None
-        if d_row is not None and d_row["min_seq"] is not None:
-            seq_hint = ("parent_seq", int(d_row["min_seq"]),
-                        int(d_row["max_seq"]) + 1)
+        # the stats aggregate and the extract checkpoint below are
+        # independent actions over the same frontier lineage (the
+        # checkpoint consumes the lazy ``due`` plan, not the collected
+        # numbers — those are first needed for the corpus-miss gate AFTER
+        # the checkpoint lands) — run the 2-row collect on a side thread
+        # so it overlaps the wave's heaviest job instead of preceding it
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+        _stats_pool = _TPE(max_workers=1)
+        stats_fut = _stats_pool.submit(
+            lambda: {r["_due"]: r for r in stats_df.collect()})
 
         _tick("politeness")
         if self._corpus_df() is not None:
@@ -669,6 +674,22 @@ class WaveCrawler:
         extracted = W.extract_wave(fetched, cfg, dl_hook, ln_hook) \
             .withColumn("task_partition_id", F.spark_partition_id()) \
             .drop("html").localCheckpoint()
+        stats = stats_fut.result()
+        _stats_pool.shutdown()
+        d_row = stats.get(True)
+        n_processed = (d_row["n"] - (d_row["n_retry"] or 0)) if d_row else 0
+        n_retried = (d_row["n_retry"] or 0) if d_row else 0
+        wave_elapsed_ms = int(d_row["elapsed_ms"] or 0) if d_row else 0
+        n_deferred = stats[False]["n"] if False in stats else 0
+        if n_deferred == 0:
+            deferred = None
+        # due rows' seq range: candidates' parent_seq (links, redirect
+        # children, retries alike) falls inside it, so seq assignment can
+        # compute its range buckets instead of sampling (one shuffle)
+        seq_hint = None
+        if d_row is not None and d_row["min_seq"] is not None:
+            seq_hint = ("parent_seq", int(d_row["min_seq"]),
+                        int(d_row["max_seq"]) + 1)
         if self._corpus is not None:
             # corpus-miss rows (fetch_wave is an inner join so the corpus
             # never re-sorts/shuffles): synthesized 404s off an anti-join
@@ -809,7 +830,7 @@ class WaveCrawler:
                 n_wave_hint=int(d_row["n"]) if d_row else 0,
                 n_domains_hint=state.next_seq,
             ))
-        _tick("cand_base_ckpt")
+        _tick("schedule_admission")  # cand_base fill + decided-cache agg
         any_budget_denial = bool(crow["bd"])
         n_adm = int(crow["n_adm"] or 0)
         n_seen_add = int(crow["n_sa"] or 0)
@@ -830,7 +851,7 @@ class WaveCrawler:
         # before the write jobs need it
         if sched["cand_base"] is not None:
             sched["cand_base"].unpersist(False)
-        _tick("admission_agg")
+        _tick("retry_agg")
         # small waves (all of them while a crawl ramps up) write few rows:
         # merge the output partitions so later read_all unions stay at a
         # sane file count.  n_processed is this wave's volume; candidates
@@ -850,12 +871,14 @@ class WaveCrawler:
                 deferred.withColumn("wave", F.lit(w + 1))
                 .select([f.name for f in FRONTIER_SCHEMA.fields])
                 .coalesce(out_parts))
-        seen_out = (sched["seen_add"].coalesce(out_parts) if n_seen_add
-                    else self.spark.createDataFrame(
-                        [], "url_hash long, url string"))
-        dis_out = (sched["disallowed"].coalesce(out_parts) if n_dis
-                   else self.spark.createDataFrame(
-                       [], "url string, reason string, wave_ts_ms long"))
+        # empty outputs skip the write altogether: read_all tolerates a
+        # missing wave dir (os.path.exists filter), and a committed state
+        # with no disallowed/seen dir means "none this wave" on resume —
+        # an empty-DataFrame parquet write still costs a job + committer
+        # round trip (~0.4 s under concurrent write lanes, measured)
+        seen_out = sched["seen_add"].coalesce(out_parts) if n_seen_add \
+            else None
+        dis_out = sched["disallowed"].coalesce(out_parts) if n_dis else None
         # two-lane write pool: measured on this box, 6 concurrent Spark jobs
         # at local[16] take MORE wall than running them serially (fair-share
         # scheduling slices every job thin and the driver threads contend on
@@ -865,9 +888,11 @@ class WaveCrawler:
         # (fetched/counts already ran on the early lane, overlapped with the
         # admission stages).
         def _light_lane():
-            _timed("seen", self.store.write_wave, "seen", w + 1, seen_out)
-            _timed("disallowed", self.store.write_wave,
-                   "disallowed", w + 1, dis_out)
+            if seen_out is not None:
+                _timed("seen", self.store.write_wave, "seen", w + 1, seen_out)
+            if dis_out is not None:
+                _timed("disallowed", self.store.write_wave,
+                       "disallowed", w + 1, dis_out)
             _timed("bloom_absorb", self._absorb_seen_wave,
                    w + 1, sched["seen_add"], n_seen_add,
                    state.seen_count + n_seen_add)

@@ -644,3 +644,46 @@ def test_schedule_broadcasts_gated_on_wave_and_domain_size(spark):
         assert urls_small == urls_large == urls_none and urls_small
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_refinement_fixpoint_replans_until_stable(spark):
+    """The dedup-refinement fixpoint loop (round-4): a genuine 3-deep
+    same-wave chain — A's cap-BREAKER t marks nothing (recrawl), so P's
+    t is wrongly suppressed by the row-local pass-1 marks; un-suppressing
+    it in pass 2 moves P's cap break position EARLIER, changing which of
+    P's links are iterated — so pass-2 marks differ from pass-1 marks,
+    the stability bit fires, the wave re-plans with a third pass, and the
+    fixpoint equals the serial order (t crawled twice, z never).  A
+    config with no refinement trigger must never re-plan."""
+    from abot_spark.sources.synthetic_web import (WebFixture, _page,
+                                                  write_parquet)
+
+    root = "http://c.corner.com"
+    fx = WebFixture()
+    fx.pages.append(_page(root + "/", ["/A", "/P"], "root"))
+    fx.pages.append(_page(root + "/A", ["/x", "/t"], "A"))  # t = A's breaker
+    fx.pages.append(_page(root + "/P", ["/t", "/y", "/z"], "P"))
+    for leaf in ("/x", "/t", "/y", "/z"):
+        fx.pages.append(_page(root + leaf, [], leaf))
+    paths = write_parquet(fx, tempfile.mkdtemp(prefix="abot-fixp-web-"))
+    pages = spark.read.parquet(paths["pages"])
+
+    cfg = CrawlConfig(is_uri_recrawling_enabled=True,
+                      max_links_per_page=2, max_pages_to_crawl=25)
+    serial = SerialCrawler(fx, cfg).crawl(root + "/")
+    crawler = WaveCrawler(spark, cfg,
+                          tempfile.mkdtemp(prefix="abot-fixp-"), pages, None)
+    state = crawler.crawl([root + "/"], max_waves=40)
+    got = [r["url"] for r in crawler.store.read_all("fetched", state.wave)
+           .orderBy("seq").collect()]
+    assert got == serial.crawl_order
+    # the chain was really 3-deep: t crawled twice, z cut by the moved break
+    assert got.count(root + "/t") == 2
+    assert root + "/z" not in got
+    assert crawler.refine_replans >= 1, \
+        "pass-2 marks/iteration changed: the fixpoint loop must re-plan"
+
+    plain = WaveCrawler(spark, CrawlConfig(),
+                        tempfile.mkdtemp(prefix="abot-fixp2-"), pages, None)
+    plain.crawl([root + "/"], max_waves=40)
+    assert plain.refine_replans == 0, "no refinement config: no re-plans"
