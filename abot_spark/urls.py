@@ -56,6 +56,9 @@ def _fast_canonical(url: str) -> str | None:
         return None
     if "\t" in url or "\n" in url or "\r" in url or "#" in url:
         return None  # urlsplit strips tab/nl/cr; '#' starts a fragment
+    if url[-1].isspace():
+        return None  # slow path str.strip()s trailing whitespace — a
+        # fragment-stripped href ("/a #frag" -> "/a ") must not keep it
     slash = rest.find("/")
     if slash < 0:
         host, path = rest, ""
@@ -191,9 +194,13 @@ def absolutize(base_url: str, href: str, respect_fragment: bool = False) -> str 
     href = href.strip()
     if not respect_fragment:
         # fragment removal can expose trailing whitespace ("/ #frag" ->
-        # "/ "); canonicalize() strips it on the slow path, so the
-        # path-absolute fast path below must see it stripped too
-        href = strip_fragment(href).rstrip()
+        # "/ ").  Keep it: every resolution path below must see the href
+        # verbatim — an early rstrip changes which urljoin branch fires
+        # ("; " resolves to "dir/;" but a bare ";" hits urlparse's RFC-1808
+        # params handling and collapses to the base) — and the final
+        # canonicalize() strips outer whitespace exactly once, .NET-style.
+        # The fast paths below each reject trailing whitespace instead.
+        href = strip_fragment(href)
     if href == "" and not respect_fragment:
         # ``new Uri(base, "")`` resolves to the base itself
         return canonicalize(base_url)
@@ -226,7 +233,7 @@ def absolutize(base_url: str, href: str, respect_fragment: bool = False) -> str 
             # checks _fast_canonical applies to a path — skipping the
             # full-string re-validation canonicalize would repeat per link
             if ("\t" not in href and "\n" not in href and "\r" not in href
-                    and "#" not in href):
+                    and "#" not in href and not href[-1].isspace()):
                 q = href.find("?")
                 p = href if q < 0 else href[:q]
                 if "/." not in p and q != len(href) - 1:
