@@ -127,15 +127,19 @@ def minhash_bands(documents: DataFrame, k: int = 8, bands: int = 4,
     signature slice — the LSH bucket key."""
     sigs = minhash_signatures(documents, k, shingle_n)
     rows_per_band = k // bands
-    out = None
-    for b in range(bands):
-        cols = [F.col(f"sig_{b * rows_per_band + j}")
-                for j in range(rows_per_band)]
-        band_df = sigs.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *cols)).alias("band_key"))
-        out = band_df if out is None else out.unionByName(band_df)
-    return out
+    # ONE scan, not a union of per-band projections: each union branch
+    # re-references the signature lineage, so column pruning still left
+    # the normalize/tokenize/shingle prep running once PER BAND (4x the
+    # regex CPU at corpus scale).  Building the band keys as one array and
+    # posexploding emits the same (doc_id, band, band_key) rows off a
+    # single signature computation.
+    band_keys = F.array(*[
+        F.md5(F.concat_ws("|", *[
+            F.col(f"sig_{b * rows_per_band + j}")
+            for j in range(rows_per_band)]))
+        for b in range(bands)])
+    return sigs.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "band_key"))
 
 
 def minhash_candidate_pairs(documents: DataFrame, k: int = 8,
@@ -326,7 +330,11 @@ def duplicate_clusters(documents: DataFrame, pairs: DataFrame | None = None,
     # a checkpoint job followed by a separate 1-row aggregate job
     labels = edges.select(F.col("src").alias("doc_id")).distinct() \
         .withColumn("label", F.col("doc_id")).localCheckpoint(eager=False)
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0] or 0
+    # no separate initial-sum action: on a non-empty edge set round 1
+    # ALWAYS changes labels (every component's max-id node has a
+    # smaller-id neighbor), so the first comparison point is round 1's
+    # own convergence sum — one fewer driver round trip per call
+    prev_sum = None
 
     converged = False
     for _ in range(max_iter):
@@ -358,7 +366,7 @@ def duplicate_clusters(documents: DataFrame, pairs: DataFrame | None = None,
         new_labels = jumped.localCheckpoint(eager=False)
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0] or 0
         labels = new_labels
-        if new_sum == prev_sum:
+        if prev_sum is not None and new_sum == prev_sum:
             converged = True
             break
         prev_sum = new_sum
