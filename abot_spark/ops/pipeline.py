@@ -115,25 +115,34 @@ def clean_corpus(documents: DataFrame, min_tokens: int = 30,
     sigs = sh.select(
         "doc_id", "pred_lang", "n_chars", "n_tokens",
         *[salted_min(i).alias(f"sig_{i}") for i in range(minhash_k)])
-    # sigs feeds the band union (4 branches) AND the final anti-join —
-    # cache it so the shingle/signature CPU runs once per row
+    # sigs feeds the band explode AND the final anti-join — cache it so
+    # the shingle/signature CPU runs once per row
     sigs = sigs.cache()
 
     rows_per_band = minhash_k // bands
-    band_df = None
-    for b in range(bands):
-        cols = [F.col(f"sig_{b * rows_per_band + j}")
-                for j in range(rows_per_band)]
-        part = sigs.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *cols)).alias("band_key"))
-        band_df = part if band_df is None else band_df.unionByName(part)
-    near = (band_df.alias("a")
-            .join(band_df.alias("b"),
-                  (F.col("a.band") == F.col("b.band"))
-                  & (F.col("a.band_key") == F.col("b.band_key"))
-                  & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("b.doc_id").alias("doc_id")).distinct())
+    # near-dup drop set in ONE shuffle: band keys posexploded off a single
+    # scan of the cached signatures (not a 4-branch union), then one
+    # groupBy((band, band_key)) per bucket — a doc is a near-duplicate iff
+    # some bucket contains a smaller doc_id, i.e. iff it is a NON-MINIMUM
+    # member of at least one bucket, so the bucket's sorted member array
+    # minus its head IS the drop set.  No band-table self-join, no
+    # O(|bucket|^2) pair rows (the old a<b self-join materialized every
+    # pair just to keep the right side).  Same semantics as
+    # dedup.minhash_candidate_pairs' bucket expansion.
+    band_keys = F.array(*[
+        F.md5(F.concat_ws("|", *[
+            F.col(f"sig_{b * rows_per_band + j}")
+            for j in range(rows_per_band)]))
+        for b in range(bands)])
+    band_df = sigs.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "band_key"))
+    near = (band_df.groupBy("band", "band_key")
+            .agg(F.array_distinct(F.sort_array(F.collect_list("doc_id")))
+                 .alias("_ds"))
+            .select(F.explode(
+                F.slice(F.col("_ds"), 2, F.size(F.col("_ds")) - 1))
+                .alias("doc_id"))
+            .distinct())
 
     return (sigs.join(near, "doc_id", "left_anti")
             .select("doc_id", "pred_lang", "n_chars", "n_tokens"))
