@@ -565,3 +565,43 @@ def test_clean_corpus_gopher_and_dupline_gates(spark):
     assert 0 in plain and 0 in gated
     assert 1 in plain and 1 not in gated      # gopher kills it
     assert 2 in plain and 2 not in gated      # dup-line gate kills it
+
+
+def test_minhash_bands_single_scan_plan(spark, docs):
+    """Plan guard: banding must be ONE posexploded scan of the signature
+    projection, not a per-band union — a union re-references the
+    signature lineage, so the normalize/tokenize/shingle prep re-runs
+    once per band for any consumer that evaluates the keys."""
+    out = D.minhash_bands(docs, k=8, bands=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, "per-band union is back in the bands plan"
+    # the pair expansion consumes the same single-scan shape
+    pplan = (D.minhash_candidate_pairs(docs, k=8, bands=4)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "Union" not in pplan
+    # and the rows are the full doc x band grid
+    assert out.count() == docs.count() * 4
+
+
+def test_clean_corpus_neardup_no_self_join_plan(spark):
+    """Plan guard: the near-dup drop set must come from the bucket-local
+    non-min expansion (one groupBy), not a band-table self-join — the
+    only join in the whole pipeline is the final left-anti against the
+    drop set."""
+    from abot_spark.ops.pipeline import clean_corpus
+
+    long_en = ("the quick brown fox jumps over the lazy dog and then "
+               "it runs far away into the green forest by the river " * 3)
+    rows = [(0, long_en, "en"),
+            (1, long_en.replace("green forest", "dark forest"), "en"),
+            (2, "x " * 200, "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = clean_corpus(docs, min_tokens=20, min_chars=120)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                   "BroadcastNestedLoopJoin", "CartesianProduct"))
+    assert n_joins == 1, f"expected only the left-anti join, saw {n_joins}"
+    assert "LeftAnti" in plan
+    # semantics unchanged: near-dup of 0 dropped, others kept
+    assert {r["doc_id"] for r in out.collect()} == {0, 2}
