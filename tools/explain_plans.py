@@ -246,8 +246,10 @@ def main() -> None:
         "One parquet scan feeds an InMemoryRelation of compact "
         "(doc_id, counts, pred_lang, sig_0..7) rows; the quality gate and "
         "every per-doc feature are computed map-side before the only two "
-        "required shuffles (digest window, band self-join). The text "
-        "column itself never shuffles."))
+        "required shuffles (digest window, band-bucket groupBy). The "
+        "near-dup drop set is the bucket-local non-min expansion — the "
+        "only join in the plan is the final left-anti against it. The "
+        "text column itself never shuffles."))
 
     from abot_spark.ops.dedup import paragraph_dedup
     from abot_spark.ops.textstats import ngram_topk
