@@ -351,8 +351,14 @@ def ngram_topk(documents: DataFrame, n: int = 2, k: int = 10,
     ).select(
         "lang", "doc_id",
         F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("ngram"))
+    # (lang, ngram, doc_id) rows are UNIQUE by construction (shingles are
+    # array_distinct per document), so the document frequency is a plain
+    # count — count_distinct would add a distinct-aggregate pass (extra
+    # hash-dedup state in both partial and final aggregation) to recompute
+    # a uniqueness the explode already guarantees.  Same invariant
+    # ngram_jaccard_pairs exploits for its posting-list sizes.
     df = (grams.groupBy("lang", "ngram")
-          .agg(F.count_distinct("doc_id").alias("n_docs"))
+          .agg(F.count(F.lit(1)).alias("n_docs"))
           .filter(F.col("n_docs") >= min_docs))
     # Phase 1: local top-k inside each (lang, salt) bucket.  The global
     # top-k is a subset of the union of bucket top-ks because each
