@@ -605,3 +605,20 @@ def test_clean_corpus_neardup_no_self_join_plan(spark):
     assert "LeftAnti" in plan
     # semantics unchanged: near-dup of 0 dropped, others kept
     assert {r["doc_id"] for r in out.collect()} == {0, 2}
+
+
+def test_duplicate_clusters_empty_pair_set(spark):
+    """No candidate pairs at all: every doc must come back as its own
+    singleton cluster with is_duplicate=False, and the loop must still
+    terminate via the convergence sum (the initial comparison point is
+    round 1's own sum now — there is no separate initial action to fall
+    back on)."""
+    docs = spark.createDataFrame(
+        [(i, f"totally unique text number {i}", "en") for i in range(5)],
+        "doc_id long, text string, lang string")
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = {r["doc_id"]: r for r in
+           D.duplicate_clusters(docs, pairs=pairs).collect()}
+    assert set(out) == set(range(5))
+    for i in range(5):
+        assert out[i]["cluster_id"] == i and not out[i]["is_duplicate"]
