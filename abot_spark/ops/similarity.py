@@ -288,7 +288,7 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     seeding, both Lloyd rounds, the final assignment, and the query side —
     the MLlib pattern of persisting the training set for an iterative
     algorithm.  Assignment and probe selection are projections over the
-    constant-folded centroid literal (:func:`_cents_lit` — centroids as
+    constant-folded centroid literal (:func:`_cents_sql` — centroids as
     data in codegen references, so every round reuses identical generated
     code), leaving only
     the cluster-bucketed candidate join and the per-query top-k window
