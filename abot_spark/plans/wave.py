@@ -70,13 +70,17 @@ Jacobi iteration of a strictly causal system — each row's decision
 depends only on strictly-earlier rows' marks — so any fixpoint equals
 the serial solution (induction over serial order), and the final pass
 carries a ``_refine_changed`` stability bit that the wave loop reads
-for free off its existing admission aggregate.  A stable pass (every
-sweep to date stabilizes at the default 2 passes) costs nothing extra;
-an unstable wave re-plans with one more pass, bounded by
+for free off its existing admission aggregate.  A stable pass costs
+nothing extra; an unstable wave re-plans with one more pass, bounded by
 ``cfg.dedup_refinement_max_passes`` (convergence needs at most the
 longest same-wave collision chain's depth).  The stability check means
 the engine *knows* when a wave's decisions are serial-exact rather
-than assuming it.
+than assuming it.  A second 100-seed sweep (80 fresh shaped + 20
+recrawl-forced, seeds 200-279/300-319) ran on the fixpoint engine:
+100/100 exact parity, and seed 219 ORGANICALLY triggered the re-plan
+path — 2 passes unstable, one re-plan, serial-exact — pinned as
+``test_fuzz_parity.py::test_organic_fixpoint_replan_parity`` (200/200
+across both sweep corpora overall).
 """
 
 from __future__ import annotations

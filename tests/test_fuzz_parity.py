@@ -282,6 +282,39 @@ def test_shaped_collision_parity(spark, seed):
         (e.url, e.status_code) for e in serial.crawled}, f"seed={seed}"
 
 
+def test_organic_fixpoint_replan_parity(spark):
+    """Shaped seed 219 — found by the round-4 100-seed offline sweep — is
+    the ORGANIC specimen of the >=3-deep same-wave interaction chain: the
+    default 2-pass refinement comes out unstable, the wave loop's
+    stability bit (``_refine_changed``) triggers exactly one fixpoint
+    re-plan, and the re-planned wave matches the serial oracle's order
+    and set exactly.  Complements ``test_refinement_fixpoint_replans_
+    until_stable`` (a hand-built chain) with a generator-found one, and
+    pins that the re-plan path stays LIVE under the default config —
+    if a future change makes marks spuriously 'stable' at 2 passes, the
+    replans assertion below fails before the parity one can go silent."""
+    rng = random.Random(219)
+    fx, doms = _shaped_collision_fixture(rng)
+    cfg = _shaped_config(rng)
+    serial = SerialCrawler(fx, cfg).crawl(doms[0] + "/")
+
+    paths = write_parquet(fx, tempfile.mkdtemp(prefix="abot-s219-web-"))
+    crawler = WaveCrawler(
+        spark, cfg, tempfile.mkdtemp(prefix="abot-s219-crawl-"),
+        spark.read.parquet(paths["pages"]), None)
+    state = crawler.crawl([doms[0] + "/"], max_waves=40)
+    fetched = crawler.store.read_all("fetched", state.wave)
+    rows = fetched.orderBy("seq").collect() if fetched is not None else []
+
+    assert crawler.refine_replans >= 1, (
+        "seed 219 must exercise the fixpoint re-plan path (it did in the "
+        "round-4 sweep); 0 re-plans means the instability detector went "
+        "dead, not that the corner disappeared")
+    assert [r["url"] for r in rows] == serial.crawl_order
+    assert {(r["url"], r["status_code"]) for r in rows} == {
+        (e.url, e.status_code) for e in serial.crawled}
+
+
 def test_refinement_passes_knob(spark):
     """``dedup_refinement_passes`` controls the marking-refinement depth:
     1 reproduces the pre-refinement corner (shaped seed 66: a capped
